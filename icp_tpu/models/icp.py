@@ -1,0 +1,187 @@
+"""Iterative Closest Point — fully jitted, masked, TPU-native.
+
+Re-design of the reference driver (/root/reference/utilities/icp.py:132-223).
+Differences that make it TPU-native rather than a translation:
+
+* Per-scan point clouds are fixed-capacity (capacity, D) arrays + masks, so
+  one compiled program serves a whole sequence (capacity bucketing happens at
+  the call site).
+* The iteration loop is a ``lax.while_loop`` over {NN query, correspondence
+  gate, closed-form solve, accumulate, convergence check} — the whole solve
+  is one XLA program with zero host round-trips.
+* KDTree queries become masked brute-force MXU matmuls (icp_tpu.ops.nn).
+* The SVD / np.linalg.solve steps become closed-form batched solves
+  (icp_tpu.ops.rigid).
+* Correspondence gating (max_corr_dist) is a weight vector, not a gather, so
+  shapes stay static; the "too few inliers -> break" guard
+  (reference icp.py:183-189) becomes a stop flag that freezes the state.
+
+Convergence matches reference semantics (icp.py:215-218): stop when
+|prev_error - error| < error_threshold, where error is the mean squared
+point-to-point NN residual over all (valid) points, computed after applying
+the iteration's transform. An extra relative floor (32 ulp of the error)
+stops iteration once the delta is below f32 noise — the reference runs in
+f64 where thresholds like 1e-10 are meaningful.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from icp_tpu.ops.nn import nn_query
+from icp_tpu.ops.eig2 import estimate_normals
+from icp_tpu.ops.rigid import p2p_solve_2d, p2p_solve_3d, p2l_solve_2d
+from icp_tpu.ops.voxel import voxel_downsample
+from icp_tpu.utils.masking import masked_mean
+
+_F32_EPS = jnp.float32(1.1920929e-07)
+
+
+class ICPResult(NamedTuple):
+    R: jax.Array          # (D, D) accumulated rotation
+    t: jax.Array          # (D,) accumulated translation
+    error: jax.Array      # scalar mean squared NN residual
+    iters: jax.Array      # iterations executed
+    n_inliers: jax.Array  # inlier count at the last executed iteration
+
+
+@partial(
+    jax.jit,
+    static_argnames=("method", "max_iterations", "normal_k", "use_gate"),
+)
+def icp_core(
+    source,
+    src_mask,
+    target,
+    tgt_mask,
+    R_init,
+    t_init,
+    *,
+    method: str = "point_to_point",
+    max_iterations: int = 100,
+    normal_k: int = 10,
+    error_threshold=1e-7,
+    max_corr_dist=0.0,
+    use_gate: bool = False,
+):
+    """ICP on already-downsampled masked clouds. See module docstring.
+
+    source/target: (N, D)/(M, D) with masks. R_init/t_init must always be
+    provided (identity for the un-initialized case) — they are dynamic
+    values, so no retrace.
+    """
+    dim = source.shape[1]
+    use_p2l = method == "point_to_line" and dim == 2
+    n_valid = jnp.sum(src_mask.astype(jnp.float32))
+    min_inliers = jnp.maximum(3.0, jnp.floor(n_valid / 10.0))
+    max_corr_sq = jnp.asarray(max_corr_dist, jnp.float32) ** 2
+    error_threshold = jnp.asarray(error_threshold, jnp.float32)
+
+    target_normals = (
+        estimate_normals(target, tgt_mask, k=normal_k) if use_p2l else None
+    )
+
+    def cond(carry):
+        it, _, _, _, _, _, stop, _ = carry
+        return (it < max_iterations) & jnp.logical_not(stop)
+
+    def body(carry):
+        it, transformed, r_total, t_total, prev_error, _, _, _ = carry
+
+        nn_dists, nn_idx = nn_query(transformed, target, tgt_mask, src_mask)
+        nearest = target[nn_idx]
+
+        if use_gate:
+            inlier = (nn_dists * nn_dists < max_corr_sq) & src_mask
+        else:
+            inlier = src_mask
+        w = inlier.astype(jnp.float32)
+        n_in = jnp.sum(w)
+        abort = n_in < min_inliers  # reference icp.py:186-187
+
+        if use_p2l:
+            nm = target_normals[nn_idx]
+            r, t = p2l_solve_2d(transformed, nearest, nm, w)
+        elif dim == 2:
+            r, t = p2p_solve_2d(transformed, nearest, w)
+        else:
+            r, t = p2p_solve_3d(transformed, nearest, w)
+
+        new_r_total = r @ r_total
+        new_t_total = t_total @ r.T + t
+        new_transformed = transformed @ r.T + t
+
+        sq = jnp.sum((nearest - new_transformed) ** 2, axis=-1)
+        error = masked_mean(sq, src_mask)
+
+        delta = jnp.abs(prev_error - error)
+        eff_thresh = jnp.maximum(error_threshold, 32.0 * _F32_EPS * error)
+        converged = delta < eff_thresh
+
+        # On abort, freeze state (reference breaks before applying the solve).
+        keep = jnp.logical_not(abort)
+        transformed = jnp.where(keep, new_transformed, transformed)
+        r_total = jnp.where(keep, new_r_total, r_total)
+        t_total = jnp.where(keep, new_t_total, t_total)
+        error = jnp.where(keep, error, prev_error)
+
+        stop = abort | converged
+        return (it + 1, transformed, r_total, t_total, error, error, stop, n_in)
+
+    transformed0 = source @ R_init.T + t_init
+    inf = jnp.float32(jnp.inf)
+    carry0 = (
+        jnp.int32(0), transformed0, R_init, t_init, inf, inf,
+        jnp.bool_(False), jnp.float32(0),
+    )
+    it, _, r_total, t_total, _, error, _, n_in = lax.while_loop(
+        cond, body, carry0
+    )
+    return ICPResult(r_total, t_total, error, it, n_in.astype(jnp.int32))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("method", "max_iterations", "normal_k", "use_gate"),
+)
+def icp(
+    source,
+    src_mask,
+    target,
+    tgt_mask,
+    R_init,
+    t_init,
+    *,
+    voxel_size,
+    method: str = "point_to_point",
+    max_iterations: int = 100,
+    normal_k: int = 10,
+    error_threshold=1e-7,
+    max_corr_dist=0.0,
+    use_gate: bool = False,
+):
+    """Full ICP entry: voxel-downsample both clouds, then run icp_core.
+
+    Mirrors the reference ``ICP`` signature and flow
+    (/root/reference/utilities/icp.py:132-223).
+    """
+    src_d, src_dm = voxel_downsample(source, src_mask, voxel_size)
+    tgt_d, tgt_dm = voxel_downsample(target, tgt_mask, voxel_size)
+    return icp_core(
+        src_d, src_dm, tgt_d, tgt_dm, R_init, t_init,
+        method=method,
+        max_iterations=max_iterations,
+        normal_k=normal_k,
+        error_threshold=error_threshold,
+        max_corr_dist=max_corr_dist,
+        use_gate=use_gate,
+    )
+
+
+def identity_init(dim: int = 2):
+    """Identity (R, t) pair for the 'no initial guess' case."""
+    return jnp.eye(dim, dtype=jnp.float32), jnp.zeros((dim,), jnp.float32)

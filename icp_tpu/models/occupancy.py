@@ -1,0 +1,122 @@
+"""Log-odds occupancy grid, device-resident, batched ray updates.
+
+Re-design of OccupancyGrid2D (/root/reference/utilities/mapping.py:13-187).
+The grid lives in HBM as a jnp array; every scan update is one jitted call
+(coordinate conversion + batched Bresenham + two scatter-adds + clamp) via
+icp_tpu.ops.raytrace. Python Bresenham loops are gone.
+
+Export formats (CSV / NPY probability grids) match the reference
+(mapping.py:183-187) so downstream tooling is drop-in.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from icp_tpu.ops.raytrace import raytrace_update
+
+
+@partial(jax.jit, static_argnames=("max_steps",))
+def _update(log_odds, origin_xy, hits, mask, min_x, min_y, inv_res,
+            l_hit, l_miss, lo_min, lo_max, *, max_steps: int):
+    origin_cell = jnp.floor(
+        (origin_xy - jnp.stack([min_x, min_y])) * inv_res
+    ).astype(jnp.int32)
+    hit_cells = jnp.floor(
+        (hits - jnp.stack([min_x, min_y])[None, :]) * inv_res
+    ).astype(jnp.int32)
+    return raytrace_update(
+        log_odds, origin_cell, hit_cells, mask,
+        l_hit, l_miss, lo_min, lo_max, max_steps=max_steps,
+    )
+
+
+class OccupancyGrid2D:
+    """2D probabilistic occupancy grid with log-odds ray tracing.
+
+    Constructor/parameter semantics match the reference
+    (/root/reference/utilities/mapping.py:28-52): grid covers
+    [min_x, max_x) x [min_y, max_y) at ``resolution`` metres/cell,
+    log-odds increments derived from p_hit/p_miss, clamped to
+    [log_odds_min, log_odds_max].
+    """
+
+    def __init__(
+        self,
+        min_x, max_x, min_y, max_y,
+        resolution=0.1,
+        p_hit=0.7,
+        p_miss=0.4,
+        log_odds_min=-5.0,
+        log_odds_max=5.0,
+        max_ray_cells: int = 2048,
+    ):
+        self.min_x = float(min_x)
+        self.max_x = float(max_x)
+        self.min_y = float(min_y)
+        self.max_y = float(max_y)
+        self.resolution = float(resolution)
+        self.nx = int(np.ceil((self.max_x - self.min_x) / self.resolution))
+        self.ny = int(np.ceil((self.max_y - self.min_y) / self.resolution))
+        self.l_hit = float(np.log(p_hit / (1.0 - p_hit)))
+        self.l_miss = float(np.log(p_miss / (1.0 - p_miss)))
+        self.log_odds_min = float(log_odds_min)
+        self.log_odds_max = float(log_odds_max)
+        self.max_ray_cells = int(max_ray_cells)
+        self.log_odds = jnp.zeros((self.ny, self.nx), jnp.float32)
+
+    def update_scan(self, origin_xy, hit_points, mask=None):
+        """Trace rays from origin to each (valid) hit; update log-odds.
+
+        origin_xy: (2,) world coords; hit_points: (N, 2) world coords;
+        mask: (N,) bool (None = all valid).
+        """
+        hit_points = jnp.asarray(hit_points, jnp.float32)
+        if mask is None:
+            mask = jnp.ones(hit_points.shape[0], bool)
+        self.log_odds = _update(
+            self.log_odds,
+            jnp.asarray(origin_xy, jnp.float32),
+            hit_points,
+            jnp.asarray(mask),
+            jnp.float32(self.min_x), jnp.float32(self.min_y),
+            jnp.float32(1.0 / self.resolution),
+            jnp.float32(self.l_hit), jnp.float32(self.l_miss),
+            jnp.float32(self.log_odds_min), jnp.float32(self.log_odds_max),
+            max_steps=self.max_ray_cells,
+        )
+
+    def reset(self):
+        """Back to unexplored (reference mapping.py:143-145)."""
+        self.log_odds = jnp.zeros((self.ny, self.nx), jnp.float32)
+
+    # ── probability / display (reference mapping.py:150-160) ─────────────
+    def to_probability(self):
+        return np.asarray(jax.nn.sigmoid(self.log_odds))
+
+    def to_display(self):
+        lo = np.asarray(self.log_odds)
+        display = 1.0 - (1.0 / (1.0 + np.exp(-lo)))
+        display[lo == 0.0] = 1.0
+        display[lo < 0.0] = 0.85
+        return display
+
+    # ── export (reference mapping.py:183-187) ────────────────────────────
+    def save_csv(self, file_path):
+        np.savetxt(file_path, self.to_probability(), delimiter=",")
+
+    def save_npy(self, file_path):
+        np.save(file_path, self.to_probability())
+
+    def save_png(self, file_path):
+        """Headless map render (new): grayscale PNG of the display map."""
+        try:
+            from PIL import Image  # pillow may not be installed; optional
+        except ImportError:
+            return False
+        img = (self.to_display() * 255).astype(np.uint8)
+        Image.fromarray(img[::-1]).save(file_path)  # y-up
+        return True

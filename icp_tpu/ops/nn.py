@@ -1,0 +1,110 @@
+"""Nearest-neighbor search as batched MXU matmuls.
+
+The reference leans on ``scipy.spatial.KDTree`` for every correspondence
+query (/root/reference/utilities/icp.py:173,179, utilities/features.py:44,84,
+211, slam.py:136). Trees are pointer-chasing and host-only; on TPU the right
+primitive is a tiled brute-force distance matrix: the cross term is a single
+(N, D) @ (D, M) matmul that rides the MXU, and the row argmin runs on the VPU.
+For the point counts in this workload (1e3-1e4 after voxel downsampling) the
+brute-force matmul is faster than any tree could be on-device, and it is
+exactly data-parallel, so it shards trivially over a mesh.
+
+All entry points are masked: invalid target slots never win an argmin and
+invalid source slots report +BIG distance.
+
+Numerical note: the expansion ||a-b||^2 = ||a||^2 + ||b||^2 - 2 a.b suffers
+cancellation in f32 when points are far from the origin, so both clouds are
+shifted by the target centroid before the expansion, which is distance-
+preserving. Matmuls use precision=HIGHEST to keep f32 accuracy on the MXU.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from icp_tpu.utils.masking import BIG, masked_centroid
+
+_PREC = lax.Precision.HIGHEST
+
+
+def pairwise_sqdist(a, b, b_mask=None, center=None):
+    """Squared L2 distances between rows of a (N, D) and b (M, D) -> (N, M).
+
+    Masked columns (b_mask False) are set to BIG. This is the TPU analogue of
+    the reference's ``_pairwise_sq`` (/root/reference/utilities/features.py:22-30)
+    with an extra centering step for f32 robustness.
+    """
+    if center is not None:
+        a = a - center
+        b = b - center
+    a_sq = jnp.sum(a * a, axis=-1, keepdims=True)          # (N, 1)
+    b_sq = jnp.sum(b * b, axis=-1, keepdims=True)          # (M, 1)
+    cross = jnp.dot(a, b.T, precision=_PREC)               # MXU: (N, M)
+    d = jnp.maximum(a_sq + b_sq.T - 2.0 * cross, 0.0)
+    if b_mask is not None:
+        d = jnp.where(b_mask[None, :], d, BIG)
+    return d
+
+
+def nn_query(source, target, tgt_mask, src_mask=None):
+    """Nearest valid target for every source point.
+
+    Equivalent of ``KDTree(target).query(source)``
+    (/root/reference/utilities/icp.py:179).
+
+    Returns (dists, indices): Euclidean distance and target index, shapes (N,).
+    Invalid source rows get distance BIG (index is arbitrary but in-range).
+    """
+    center = masked_centroid(target, tgt_mask)
+    d = pairwise_sqdist(source, target, tgt_mask, center=center)
+    idx = jnp.argmin(d, axis=-1)
+    dist = jnp.sqrt(jnp.take_along_axis(d, idx[:, None], axis=-1)[:, 0])
+    if src_mask is not None:
+        dist = jnp.where(src_mask, dist, BIG)
+    return dist, idx
+
+
+def knn_query(query, query_mask, points, points_mask, k: int):
+    """k nearest valid ``points`` for each query row (sorted ascending).
+
+    Equivalent of ``KDTree(points).query(query, k=k)``
+    (/root/reference/utilities/icp.py:66, features.py:45,85).
+
+    Returns (dists (Q, k), indices (Q, k)).
+    """
+    center = masked_centroid(points, points_mask)
+    d = pairwise_sqdist(query, points, points_mask, center=center)
+    neg_top, idx = lax.top_k(-d, k)                        # ascending distance
+    dist = jnp.sqrt(jnp.maximum(-neg_top, 0.0))
+    if query_mask is not None:
+        dist = jnp.where(query_mask[:, None], dist, BIG)
+    return dist, idx
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def nn_query_chunked(source, target, tgt_mask, src_mask=None, *, chunk: int = 2048):
+    """nn_query for large N: processes source rows in chunks via lax.map so
+    the (N, M) distance matrix never materializes beyond (chunk, M)."""
+    n = source.shape[0]
+    if n <= chunk:
+        return nn_query(source, target, tgt_mask, src_mask)
+    pad = (-n) % chunk
+    src = jnp.pad(source, ((0, pad), (0, 0)))
+    src = src.reshape(-1, chunk, source.shape[1])
+    center = masked_centroid(target, tgt_mask)
+
+    def one(chunk_pts):
+        d = pairwise_sqdist(chunk_pts, target, tgt_mask, center=center)
+        idx = jnp.argmin(d, axis=-1)
+        dist = jnp.sqrt(jnp.take_along_axis(d, idx[:, None], axis=-1)[:, 0])
+        return dist, idx
+
+    dists, idxs = lax.map(one, src)
+    dists = dists.reshape(-1)[:n]
+    idxs = idxs.reshape(-1)[:n]
+    if src_mask is not None:
+        dists = jnp.where(src_mask, dists, BIG)
+    return dists, idxs

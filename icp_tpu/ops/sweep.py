@@ -1,0 +1,68 @@
+"""Correlative angle-sweep scoring — all angles batched on the MXU.
+
+The reference scores each candidate rotation with a Python loop over angles,
+each doing one KDTree query (/root/reference/utilities/features.py:213-233
+for global rotation search, /root/reference/slam.py:138-159 for the
+submap-centered variant). On TPU the whole sweep is one batched computation:
+rotate the source by every angle at once (A, N, 2), compute the (A*N, M)
+distance matrix as a matmul, min over targets, masked mean over sources.
+
+To bound memory the angle axis is processed in chunks via ``lax.map``
+(A x N x M f32 for a full sweep could be ~1 GB; chunks keep the live
+intermediate at chunk x N x M). The angle axis is also the natural sharding
+axis for multi-device sweeps (icp_tpu.parallel).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from icp_tpu.utils.masking import BIG, masked_centroid, masked_mean
+from icp_tpu.utils.se2 import rotmat
+
+_PREC = lax.Precision.HIGHEST
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def sweep_scores(source, src_mask, target, tgt_mask, angles, t_offset,
+                 *, chunk: int = 8):
+    """Mean squared NN distance for every candidate angle.
+
+    For each angle a: place source as ``source @ R(a).T + t_offset`` and
+    score mean_i min_j ||placed_i - target_j||^2 over valid i, valid j.
+
+    source: (N, 2); target: (M, 2); angles: (A,); t_offset: (2,).
+    Returns scores (A,) f32 (BIG where the sweep is degenerate).
+    """
+    A = angles.shape[0]
+    pad = (-A) % chunk
+    angles_p = jnp.pad(angles, (0, pad))
+    angles_c = angles_p.reshape(-1, chunk)
+
+    # Shift into target-centroid frame once for f32-stable sq-distances.
+    center = masked_centroid(target, tgt_mask)
+    tgt_c = target - center
+    t_rel = t_offset - center
+    tgt_sq = jnp.sum(tgt_c * tgt_c, axis=-1)                     # (M,)
+    tgt_sq = jnp.where(tgt_mask, tgt_sq, BIG)
+
+    def score_chunk(angs):
+        R = rotmat(angs)                                         # (C, 2, 2)
+        placed = jnp.einsum("nd,ced->cne", source, R, precision=_PREC) + t_rel
+        cross = jnp.einsum("cne,me->cnm", placed, tgt_c, precision=_PREC)
+        p_sq = jnp.sum(placed * placed, axis=-1)                 # (C, N)
+        d = p_sq[:, :, None] + tgt_sq[None, None, :] - 2.0 * cross
+        dmin = jnp.maximum(jnp.min(d, axis=-1), 0.0)             # (C, N)
+        return masked_mean(dmin, src_mask[None, :], axis=-1)     # (C,)
+
+    scores = lax.map(score_chunk, angles_c).reshape(-1)
+    return scores[:A]
+
+
+def best_angle(scores, angles):
+    """argmin helper returning (best_angle, best_score)."""
+    i = jnp.argmin(scores)
+    return angles[i], scores[i]

@@ -1,0 +1,91 @@
+"""Mean-per-voxel downsampling as a sort + segment reduction.
+
+The reference implements this with ``np.unique(..., axis=0)`` +
+``np.bincount`` (/root/reference/utilities/icp.py:117-129), both of which
+have data-dependent output shapes. The TPU-native formulation keeps a static
+shape: lexicographically sort points by integer voxel coordinates
+(``lax.sort`` with multiple keys — one fused on-device sort), mark segment
+heads, assign each segment a dense slot with a cumulative sum, and
+scatter-add points into fixed-capacity (sum, count) accumulators. Output
+capacity equals input capacity (n_unique <= n_valid always), so shapes are
+static and the op jits once per capacity bucket.
+
+Slot ordering matches ``np.unique``'s lexicographic row order, so outputs are
+element-wise comparable to the reference (mean computed in f32 vs f64).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_INT_SENTINEL = jnp.int32(2**30)  # sorts after any real voxel coordinate
+
+
+@partial(jax.jit, static_argnames=())
+def voxel_downsample(points, mask, voxel_size):
+    """Masked mean-per-voxel downsample.
+
+    Parameters
+    ----------
+    points : (N, D) f32, D in {2, 3}
+    mask : (N,) bool — valid input slots
+    voxel_size : scalar (traced ok)
+
+    Returns
+    -------
+    out_points : (N, D) f32 — voxel means, lexicographic voxel order
+    out_mask : (N,) bool — True for the first n_unique slots
+    """
+    n, d = points.shape
+    inv = 1.0 / voxel_size
+    min_bound = jnp.min(jnp.where(mask[:, None], points, jnp.inf), axis=0)
+    coords = jnp.floor((points - min_bound) * inv).astype(jnp.int32)
+    coords = jnp.where(mask[:, None], coords, _INT_SENTINEL)
+
+    # Lexicographic sort by (c0, c1[, c2]): one multi-key on-device sort.
+    keys = [coords[:, j] for j in range(d)]
+    perm = jnp.arange(n, dtype=jnp.int32)
+    sorted_ops = lax.sort(tuple(keys) + (perm,), num_keys=d, is_stable=True)
+    sorted_coords = jnp.stack(sorted_ops[:d], axis=1)      # (N, D)
+    order = sorted_ops[d]
+    sorted_pts = points[order]
+    sorted_mask = mask[order]
+
+    # Segment heads: first row, or any voxel coordinate differs from prev.
+    diff = jnp.any(sorted_coords != jnp.roll(sorted_coords, 1, axis=0), axis=1)
+    head = diff.at[0].set(True) & sorted_mask
+    slot = jnp.cumsum(head.astype(jnp.int32)) - 1          # (N,) dense segment id
+    slot = jnp.where(sorted_mask, slot, n)                 # invalid -> dropped
+
+    sums = jnp.zeros((n, d), points.dtype).at[slot].add(
+        jnp.where(sorted_mask[:, None], sorted_pts, 0.0), mode="drop"
+    )
+    counts = jnp.zeros((n,), points.dtype).at[slot].add(
+        sorted_mask.astype(points.dtype), mode="drop"
+    )
+    out_mask = counts > 0
+    out = sums / jnp.maximum(counts, 1.0)[:, None]
+    # Park invalid slots on the first voxel mean so stray unmasked reads
+    # stay in-range.
+    out = jnp.where(out_mask[:, None], out, out[0])
+    return out, out_mask
+
+
+def voxel_downsample_fixed(points, mask, voxel_size, capacity: int):
+    """voxel_downsample with output truncated/padded to ``capacity`` slots.
+
+    Useful when the consumer wants a smaller static shape than the input
+    capacity (e.g. submap assembly). Voxels beyond ``capacity`` are dropped
+    (callers choose capacity >= expected unique count).
+    """
+    out, out_mask = voxel_downsample(points, mask, voxel_size)
+    n = points.shape[0]
+    if capacity >= n:
+        pad = capacity - n
+        out = jnp.pad(out, ((0, pad), (0, 0)))
+        out_mask = jnp.pad(out_mask, (0, pad))
+        return out, out_mask
+    return out[:capacity], out_mask[:capacity]

@@ -1,0 +1,94 @@
+import numpy as np
+import jax.numpy as jnp
+
+from icp_tpu.ops.raytrace import bresenham_cells, raytrace_update
+from icp_tpu.models.occupancy import OccupancyGrid2D
+
+
+def np_bresenham(x0, y0, x1, y1):
+    """Clean-room oracle of reference _bresenham (utilities/mapping.py:68-89)."""
+    cells = []
+    dx, dy = abs(x1 - x0), abs(y1 - y0)
+    sx = 1 if x0 < x1 else -1
+    sy = 1 if y0 < y1 else -1
+    err = dx - dy
+    x, y = x0, y0
+    while True:
+        if x == x1 and y == y1:
+            break
+        cells.append((x, y))
+        e2 = 2 * err
+        if e2 > -dy:
+            err -= dy
+            x += sx
+        if e2 < dx:
+            err += dx
+            y += sy
+    return cells
+
+
+def test_bresenham_matches_oracle():
+    rng = np.random.default_rng(0)
+    origin = np.array([7, 9], dtype=np.int32)
+    ends = rng.integers(-20, 40, size=(50, 2)).astype(np.int32)
+    valid = np.ones(50, bool)
+    cells, active = bresenham_cells(
+        jnp.asarray(origin), jnp.asarray(ends), jnp.asarray(valid), max_steps=128
+    )
+    cells, active = np.asarray(cells), np.asarray(active)
+    for i in range(50):
+        want = np_bresenham(origin[0], origin[1], ends[i, 0], ends[i, 1])
+        got = [tuple(cells[s, i]) for s in range(128) if active[s, i]]
+        assert got == want, f"ray {i}: {got[:5]} vs {want[:5]}"
+
+
+def np_update_scan(log_odds, origin_cell, hit_cells, nx, ny, l_hit, l_miss,
+                   lo_min, lo_max):
+    """Clean-room oracle of update_scan (utilities/mapping.py:103-141)."""
+    lo = log_odds.copy()
+    ox, oy = origin_cell
+    for hx, hy in hit_cells:
+        if 0 <= hx < nx and 0 <= hy < ny:
+            lo[hy, hx] += l_hit
+    for hx, hy in hit_cells:
+        for fx, fy in np_bresenham(ox, oy, hx, hy):
+            if 0 <= fx < nx and 0 <= fy < ny:
+                lo[fy, fx] += l_miss
+    return np.clip(lo, lo_min, lo_max)
+
+
+def test_raytrace_update_matches_oracle():
+    rng = np.random.default_rng(1)
+    ny, nx = 40, 50
+    log_odds = np.zeros((ny, nx), np.float32)
+    origin = np.array([25, 20], dtype=np.int32)
+    hits = rng.integers(-5, 55, size=(30, 2)).astype(np.int32)
+    want = np_update_scan(log_odds, origin, hits, nx, ny, 0.85, -0.4, -5.0, 5.0)
+    got = np.asarray(
+        raytrace_update(
+            jnp.asarray(log_odds), jnp.asarray(origin), jnp.asarray(hits),
+            jnp.ones(30, bool),
+            jnp.float32(0.85), jnp.float32(-0.4),
+            jnp.float32(-5.0), jnp.float32(5.0),
+            max_steps=128,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_occupancy_grid_end_to_end():
+    g = OccupancyGrid2D(-5, 5, -5, 5, resolution=0.5, max_ray_cells=64)
+    origin = np.zeros(2, np.float32)
+    angles = np.linspace(0, 2 * np.pi, 60, endpoint=False)
+    hits = np.stack([3.0 * np.cos(angles), 3.0 * np.sin(angles)], axis=1)
+    g.update_scan(origin, hits)
+    p = g.to_probability()
+    # center cell should be free (rays pass through), hit ring occupied
+    ci = int((0 - g.min_x) / g.resolution)
+    cj = int((0 - g.min_y) / g.resolution)
+    assert p[cj, ci] < 0.5
+    hi = int((3.0 - g.min_x) / g.resolution)
+    assert p[cj, hi] > 0.5
+    # reset returns to unexplored
+    g.reset()
+    assert np.all(np.asarray(g.log_odds) == 0)
