@@ -1,0 +1,125 @@
+"""Headline benchmark: full-pipeline scans/sec vs the NumPy/SciPy baseline.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+
+Pipeline benchmarked (BASELINE.json config #3): IMU yaw fusion + scan-to-scan
+point-to-line ICP + rolling-submap correction + occupancy mapping, on a
+synthetic 1007-format sequence (the reference's 1007 dataset is not shipped;
+SURVEY.md §6). The baseline is benchmarks/baseline_np.py — the same
+algorithms on NumPy/SciPy (KDTree, per-point eigh, sequential sweeps) —
+timed on a subset of the same sequence and extrapolated per scan.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from icp_tpu.utils.synth import generate_sequence
+    from icp_tpu.utils.config import SlamConfig
+    from icp_tpu.services.lidar import LidarService
+    from icp_tpu.services.imu import IMUService
+    from icp_tpu.engine import SlamEngine, filter_and_flatten
+
+    os.makedirs("data", exist_ok=True)
+    lidar_csv, imu_csv = "data/bench_lidar.csv", "data/bench_imu.csv"
+    if not (os.path.exists(lidar_csv) and os.path.exists(imu_csv)):
+        log("generating synthetic benchmark sequence ...")
+        generate_sequence(lidar_csv, imu_csv, n_scans=200, n_beams=720,
+                          noise=0.005, trajectory="loop", seed=42)
+
+    cfg = SlamConfig.from_dict({
+        "data_file": lidar_csv,
+        "imu": {"enabled": True, "file": imu_csv, "narrow_search_range": 3.0},
+        "icp": {"method": "point_to_line", "normal_k": 12, "voxel_size": 0.04,
+                "error_threshold": 1e-10, "max_iterations": 150,
+                "error_reject_threshold": 0.5},
+        "features": {"method": "rotation_search",
+                     "rotation_voxel_size": 0.15,
+                     "angle_step_coarse": 1.5, "angle_step_fine": 0.1},
+        "submap": {"enabled": True, "size": 40, "voxel_size": 0.04,
+                   "max_corr_dist": 1.5, "rotation_range": 60.0,
+                   "rotation_step": 0.8, "rotation_fine_step": 0.1,
+                   "rotation_voxel_size": 0.2},
+        "loop_closure": {"enabled": False},
+        "filter": {"z_min": 0.5, "z_max": 2.0},
+        "mapping": {"resolution": 0.05, "margin": 50.0},
+        "service": {"loop": False},
+        "display": {"live_map": False},
+        "tpu": {"scan_capacity": 1024, "submap_capacity": 8192,
+                "max_ray_cells": 1024},
+    })
+
+    # load all scans up-front (parse time excluded from both sides)
+    scans = []
+    rels = []
+    for ts, rel, raw in LidarService(lidar_csv).scans():
+        scans.append(filter_and_flatten(raw, cfg.z_min, cfg.z_max))
+        rels.append(rel)
+    imu = IMUService(imu_csv)
+    log(f"{len(scans)} scans, mean {np.mean([len(s) for s in scans]):.0f} pts")
+
+    # ── ours (TPU) ───────────────────────────────────────────────────────
+    WARM = 6
+    engine = SlamEngine(cfg, imu=imu, verbose=False)
+    for k in range(WARM):
+        engine.process_scan(scans[k], rels[k])
+    t0 = time.perf_counter()
+    for k in range(WARM, len(scans)):
+        engine.process_scan(scans[k], rels[k])
+    wall = time.perf_counter() - t0
+    n_timed = len(scans) - WARM
+    ours = n_timed / wall
+    log(f"tpu engine: {ours:.2f} scans/s ({wall:.1f}s for {n_timed} scans, "
+        f"submap_corr={engine.stats.submap_corrections})")
+
+    # ── NumPy/SciPy baseline on a subset ─────────────────────────────────
+    from benchmarks.baseline_np import BaselineSlam
+    N_BASE = 12
+    imu_yaws = np.array([imu.yaw_at(r) for r in rels])
+    base_cfg = {
+        "method": "point_to_line", "normal_k": 12, "voxel_size": 0.04,
+        "error_threshold": 1e-10, "max_iterations": 150,
+        "error_reject_threshold": 0.5,
+        "rotation_voxel_size": 0.15, "angle_step_coarse": 1.5,
+        "angle_step_fine": 0.1,
+        "submap_enabled": True, "submap_size": 40, "submap_voxel": 0.04,
+        "sub_corr_dist": 1.5, "sub_rot_range": 60.0, "sub_rot_step": 0.8,
+        "sub_rot_fine": 0.1, "sub_rot_voxel": 0.2, "imu_narrow": 3.0,
+    }
+    base = BaselineSlam(base_cfg, imu_yaws=imu_yaws)
+    base.step(scans[0])        # init (untimed)
+    t0 = time.perf_counter()
+    for k in range(1, 1 + N_BASE):
+        base.step(scans[k])
+    base_wall = time.perf_counter() - t0
+    baseline = N_BASE / base_wall
+    log(f"numpy baseline: {baseline:.2f} scans/s "
+        f"({base_wall:.1f}s for {N_BASE} scans)")
+
+    result = {
+        "metric": "full_pipeline_scans_per_sec",
+        "value": round(ours, 3),
+        "unit": "scans/s",
+        "vs_baseline": round(ours / baseline, 2),
+        "baseline_scans_per_sec": round(baseline, 3),
+        "n_scans": n_timed,
+        "backend": __import__("jax").default_backend(),
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

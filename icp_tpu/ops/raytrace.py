@@ -62,10 +62,12 @@ def bresenham_cells(origin_cell, end_cells, valid, *, max_steps: int):
         err = jnp.where(active, err_new, err)
         return (x, y, err, done), (cell, active)
 
-    x_init = jnp.full((n,), x0, jnp.int32)
-    y_init = jnp.full((n,), y0, jnp.int32)
+    # derive carries from the (possibly device-varying) endpoint arrays so
+    # shard_map's varying-axis tracking stays consistent across scan steps
+    x_init = jnp.zeros_like(x1) + x0
+    y_init = jnp.zeros_like(y1) + y0
     err_init = (dx - dy).astype(jnp.int32)
-    done_init = jnp.zeros((n,), bool)
+    done_init = valid ^ valid  # all-False, same varying axes as `valid`
     _, (cells, active) = lax.scan(
         step, (x_init, y_init, err_init, done_init), None, length=max_steps
     )

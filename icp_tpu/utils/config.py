@@ -1,0 +1,197 @@
+"""YAML config system — schema-compatible with the reference config.yaml.
+
+Every knob has a code-side default exactly as the reference reads them via
+``cfg.get(key, default)`` (/root/reference/slam.py:283-346), so any
+reference config file runs unmodified. TPU-specific additions live under
+the ``tpu`` section (capacities, device options) and default sensibly.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import yaml
+
+
+def load_config(path: str = "config.yaml") -> dict:
+    """Reference: load_config (/root/reference/slam.py:19-21)."""
+    with open(path, "r") as f:
+        return yaml.safe_load(f) or {}
+
+
+def _get(cfg: dict, section: str, key: str, default):
+    return (cfg.get(section) or {}).get(key, default)
+
+
+@dataclass
+class SlamConfig:
+    """Flattened view of the YAML dict with reference defaults.
+
+    Defaults match /root/reference/slam.py:283-346 (code defaults, which the
+    reference prefers over config.yaml values when keys are absent).
+    """
+
+    raw: dict = field(default_factory=dict)
+
+    # data
+    data_file: str = "data/ugvlidar-full.csv"
+    num_scans: int | None = None
+    process_every_n: int = 1
+
+    # imu
+    imu_enabled: bool = False
+    imu_file: str = ""
+    imu_narrow: float = 5.0
+
+    # icp
+    icp_method: str = "point_to_line"
+    icp_normal_k: int = 10
+    icp_voxel: float = 0.06
+    icp_error_threshold: float = 1e-7
+    icp_max_iterations: int = 100
+    error_reject_threshold: float = 0.5
+
+    # features / pre-alignment
+    alignment_method: str = "rotation_search"
+    rotation_voxel_size: float = 0.3
+    angle_step_coarse: float = 2.0
+    angle_step_fine: float = 0.2
+    feat_voxel: float = 0.2
+    k_curvature: int = 10
+    top_n: int = 100
+    min_kp_dist: float = 0.3
+    k_descriptor: int = 30
+    ratio_threshold: float = 0.8
+    ransac_iterations: int = 1000
+    inlier_threshold: float = 0.5
+    min_inliers: int = 3
+
+    # submap
+    submap_enabled: bool = True
+    submap_size: int = 30
+    submap_voxel: float = 0.06
+    sub_rot_range: float = 90.0
+    sub_rot_step: float = 1.0
+    sub_rot_fine: float = 0.2
+    sub_rot_voxel: float = 0.25
+    sub_corr_dist: float = 0.5
+
+    # loop closure
+    lc_enabled: bool = False
+    lc_distance: float = 3.0
+    lc_min_interval: int = 20
+    lc_max_candidates: int = 3
+    lc_error_threshold: float = 0.03
+    lc_opt_iters: int = 20
+    lc_info_scale: float = 10.0
+    lc_min_travel: float = 20.0
+
+    # filter
+    z_min: float = 0.2
+    z_max: float = 2.0
+
+    # mapping
+    map_resolution: float = 0.1
+    map_margin: float = 50.0
+    p_hit: float = 0.7
+    p_miss: float = 0.4
+    log_odds_min: float = -5.0
+    log_odds_max: float = 5.0
+
+    # service
+    sleep_s: float = 0.0
+    loop: bool = True
+
+    # output
+    out_csv: str = "tmp/occupancy_grid.csv"
+    out_npy: str = "tmp/occupancy_grid.npy"
+
+    # display (headless by default in the TPU build)
+    live_map: bool = False
+
+    # tpu-specific
+    scan_capacity: int = 1024
+    submap_capacity: int = 8192
+    max_ray_cells: int = 2048
+
+    @classmethod
+    def from_dict(cls, cfg: dict) -> "SlamConfig":
+        c = cls(raw=cfg)
+        c.data_file = cfg.get("data_file", c.data_file)
+        c.num_scans = cfg.get("num_scans", None)
+        c.process_every_n = cfg.get("process_every_n", 1)
+
+        c.imu_enabled = _get(cfg, "imu", "enabled", False)
+        c.imu_file = _get(cfg, "imu", "file", "")
+        c.imu_narrow = _get(cfg, "imu", "narrow_search_range", 5.0)
+
+        c.icp_method = _get(cfg, "icp", "method", "point_to_line")
+        c.icp_normal_k = _get(cfg, "icp", "normal_k", 10)
+        c.icp_voxel = _get(cfg, "icp", "voxel_size", 0.06)
+        c.icp_error_threshold = _get(cfg, "icp", "error_threshold", 1e-7)
+        c.icp_max_iterations = _get(cfg, "icp", "max_iterations", 100)
+        c.error_reject_threshold = _get(cfg, "icp", "error_reject_threshold", 0.5)
+
+        f = cfg.get("features") or {}
+        c.alignment_method = f.get("method", "rotation_search")
+        c.rotation_voxel_size = f.get("rotation_voxel_size", 0.3)
+        c.angle_step_coarse = f.get("angle_step_coarse", 2.0)
+        c.angle_step_fine = f.get("angle_step_fine", 0.2)
+        c.feat_voxel = f.get("voxel_size", 0.2)
+        c.k_curvature = f.get("k_curvature", 10)
+        c.top_n = f.get("top_n", 100)
+        c.min_kp_dist = f.get("min_kp_dist", 0.3)
+        c.k_descriptor = f.get("k_descriptor", 30)
+        c.ratio_threshold = f.get("ratio_threshold", 0.8)
+        c.ransac_iterations = f.get("ransac_iterations", 1000)
+        c.inlier_threshold = f.get("inlier_threshold", 0.5)
+        c.min_inliers = f.get("min_inliers", 3)
+
+        s = cfg.get("submap") or {}
+        c.submap_enabled = s.get("enabled", True)
+        c.submap_size = s.get("size", 30)
+        c.submap_voxel = s.get("voxel_size", 0.06)
+        c.sub_rot_range = s.get("rotation_range", 90.0)
+        c.sub_rot_step = s.get("rotation_step", 1.0)
+        c.sub_rot_fine = s.get("rotation_fine_step", 0.2)
+        c.sub_rot_voxel = s.get("rotation_voxel_size", 0.25)
+        c.sub_corr_dist = s.get("max_corr_dist", 0.5)
+
+        lc = cfg.get("loop_closure") or {}
+        c.lc_enabled = lc.get("enabled", False)
+        c.lc_distance = lc.get("distance_threshold", 3.0)
+        c.lc_min_interval = lc.get("min_interval", 20)
+        c.lc_max_candidates = lc.get("max_candidates", 3)
+        c.lc_error_threshold = lc.get("error_threshold", 0.03)
+        c.lc_opt_iters = lc.get("optimization_iterations", 20)
+        c.lc_info_scale = lc.get("information_scale", 10.0)
+        c.lc_min_travel = lc.get("min_cumulative_travel", 20.0)
+
+        c.z_min = _get(cfg, "filter", "z_min", 0.2)
+        c.z_max = _get(cfg, "filter", "z_max", 2.0)
+
+        m = cfg.get("mapping") or {}
+        c.map_resolution = m.get("resolution", 0.1)
+        c.map_margin = m.get("margin", 50.0)
+        c.p_hit = m.get("p_hit", 0.7)
+        c.p_miss = m.get("p_miss", 0.4)
+        c.log_odds_min = m.get("log_odds_min", -5.0)
+        c.log_odds_max = m.get("log_odds_max", 5.0)
+
+        c.sleep_s = _get(cfg, "service", "sleep_s", 0.0)
+        c.loop = _get(cfg, "service", "loop", True)
+
+        c.out_csv = _get(cfg, "output", "csv", "tmp/occupancy_grid.csv")
+        c.out_npy = _get(cfg, "output", "npy", "tmp/occupancy_grid.npy")
+
+        c.live_map = _get(cfg, "display", "live_map", False)
+
+        t = cfg.get("tpu") or {}
+        c.scan_capacity = t.get("scan_capacity", 1024)
+        c.submap_capacity = t.get("submap_capacity", 8192)
+        c.max_ray_cells = t.get("max_ray_cells", 2048)
+        return c
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "SlamConfig":
+        return cls.from_dict(load_config(path))

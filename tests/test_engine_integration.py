@@ -1,0 +1,101 @@
+"""End-to-end SLAM on a synthetic sequence with ATE asserts (SURVEY.md §4's
+test-pyramid gap: trajectory checks instead of eyeballs)."""
+import os
+
+import numpy as np
+import pytest
+
+from icp_tpu.utils.synth import generate_sequence
+from icp_tpu.utils.config import SlamConfig
+from icp_tpu.engine import run_slam
+
+
+def ate_rmse(gt_xy, est_xy):
+    """Absolute trajectory error after the trajectories are expressed
+    relative to their first pose (both start at the origin here)."""
+    n = min(len(gt_xy), len(est_xy))
+    d = gt_xy[:n] - est_xy[:n]
+    return float(np.sqrt(np.mean(np.sum(d * d, axis=1))))
+
+
+@pytest.fixture(scope="module")
+def synth_seq(tmp_path_factory):
+    d = tmp_path_factory.mktemp("seq")
+    lidar = str(d / "lidar.csv")
+    imu = str(d / "imu.csv")
+    gt = generate_sequence(lidar, imu, n_scans=100, n_beams=720, noise=0.005,
+                           trajectory="loop", seed=3)
+    return lidar, imu, gt
+
+
+def _base_cfg(lidar, imu):
+    return {
+        "data_file": lidar,
+        "imu": {"enabled": bool(imu), "file": imu or "",
+                "narrow_search_range": 3.0},
+        "icp": {"method": "point_to_line", "normal_k": 10, "voxel_size": 0.05,
+                "error_threshold": 1e-9, "max_iterations": 60,
+                "error_reject_threshold": 0.5},
+        "features": {"method": "rotation_search", "rotation_voxel_size": 0.2,
+                     "angle_step_coarse": 3.0, "angle_step_fine": 0.5},
+        "submap": {"enabled": False},
+        "loop_closure": {"enabled": False},
+        "filter": {"z_min": 0.5, "z_max": 2.0},
+        "mapping": {"resolution": 0.1, "margin": 20.0},
+        "service": {"loop": False},
+        "display": {"live_map": False},
+        "tpu": {"scan_capacity": 512, "submap_capacity": 4096,
+                "max_ray_cells": 512},
+    }
+
+
+def _gt_relative(gt):
+    """Ground-truth trajectory re-expressed in the first scan's frame (the
+    engine's global frame starts at the first pose = identity)."""
+    x0, y0, th0 = gt[0]
+    c, s = np.cos(-th0), np.sin(-th0)
+    R = np.array([[c, -s], [s, c]])
+    xy = (gt[:, :2] - [x0, y0]) @ R.T
+    return xy
+
+
+def test_scan_to_scan_odometry_tracks_gt(synth_seq):
+    lidar, imu, gt = synth_seq
+    cfg = SlamConfig.from_dict(_base_cfg(lidar, imu))
+    global_pose, traj, mapper, engine = run_slam(cfg, verbose=False)
+    assert engine.stats.scans >= 90
+    est = np.stack([p[:2, 2] for p in traj])
+    want = _gt_relative(gt)[1 : len(est) + 1]
+    err = ate_rmse(want, est)
+    assert err < 0.8, f"ATE {err:.3f} m too high for scan-to-scan odometry"
+    # map should exist and contain occupied + free space
+    p = mapper.to_probability()
+    assert (p > 0.6).sum() > 100
+    assert (p < 0.4).sum() > 1000
+
+
+def test_submap_mode_runs_and_no_worse(synth_seq):
+    lidar, imu, gt = synth_seq
+    d = _base_cfg(lidar, imu)
+    d["submap"] = {"enabled": True, "size": 10, "voxel_size": 0.05,
+                   "max_corr_dist": 1.0, "rotation_range": 10.0,
+                   "rotation_step": 1.0, "rotation_fine_step": 0.25,
+                   "rotation_voxel_size": 0.2}
+    cfg = SlamConfig.from_dict(d)
+    global_pose, traj, mapper, engine = run_slam(cfg, verbose=False)
+    est = np.stack([p[:2, 2] for p in traj])
+    want = _gt_relative(gt)[1 : len(est) + 1]
+    err = ate_rmse(want, est)
+    assert err < 0.5, f"submap ATE {err:.3f}"
+
+
+def test_no_imu_rotation_search_mode(synth_seq):
+    lidar, _, gt = synth_seq
+    d = _base_cfg(lidar, None)
+    d["num_scans"] = 12
+    cfg = SlamConfig.from_dict(d)
+    global_pose, traj, mapper, engine = run_slam(cfg, verbose=False)
+    assert engine.stats.scans >= 12
+    est = np.stack([p[:2, 2] for p in traj])
+    want = _gt_relative(gt)[1 : len(est) + 1]
+    assert ate_rmse(want, est) < 0.6
