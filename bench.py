@@ -18,6 +18,11 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
 
@@ -59,7 +64,7 @@ def main():
         "service": {"loop": False},
         "display": {"live_map": False},
         "tpu": {"scan_capacity": 1024, "submap_capacity": 8192,
-                "max_ray_cells": 1024},
+                "max_ray_cells": 640, "batch_scans": 16},
     })
 
     # load all scans up-front (parse time excluded from both sides)
@@ -73,14 +78,18 @@ def main():
 
     # ── ours (TPU) ───────────────────────────────────────────────────────
     WARM = 6
+    B = cfg.batch_scans
     engine = SlamEngine(cfg, imu=imu, verbose=False)
     for k in range(WARM):
         engine.process_scan(scans[k], rels[k])
+    # warm the batched program too
+    engine.process_scans_batched(scans[WARM:WARM + B], rels[WARM:WARM + B])
+    start = WARM + B
+    n_timed = ((len(scans) - start) // B) * B   # full batches only
     t0 = time.perf_counter()
-    for k in range(WARM, len(scans)):
-        engine.process_scan(scans[k], rels[k])
+    for k in range(start, start + n_timed, B):
+        engine.process_scans_batched(scans[k:k + B], rels[k:k + B])
     wall = time.perf_counter() - t0
-    n_timed = len(scans) - WARM
     ours = n_timed / wall
     log(f"tpu engine: {ours:.2f} scans/s ({wall:.1f}s for {n_timed} scans, "
         f"submap_corr={engine.stats.submap_corrections})")

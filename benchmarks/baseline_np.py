@@ -222,6 +222,11 @@ class BaselineSlam:
             self.prev, points, cfg["error_threshold"], cfg["max_iterations"],
             cfg["voxel_size"], R0, t0, method=cfg["method"],
             normal_k=cfg["normal_k"])
+        # scan rejection gate (reference slam.py:485-490)
+        if err > cfg.get("error_reject_threshold", 0.5):
+            self.prev = points
+            self.k += 1
+            return
         T_inv = np.eye(3)
         T_inv[:2, :2] = r.T
         T_inv[:2, 2] = -r.T @ t

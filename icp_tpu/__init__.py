@@ -18,6 +18,8 @@ Layout:
   runtime/   native host runtime (C++ CSV parser via ctypes)
   utils/     SE(2) transforms, masking, config
 """
+import os as _os
+
 import jax as _jax
 
 # Geometry workloads need true f32 matmuls: the default TPU policy (bf16
@@ -25,5 +27,11 @@ import jax as _jax
 # metre-scale clouds and breaks rigid-solve orthogonality. Hot kernels that
 # can tolerate less set their own precision explicitly.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# This container's sitecustomize force-registers the TPU plugin and ignores
+# JAX_PLATFORMS from the environment; honor an explicit CPU request so
+# tests/tools can opt out of the (single, possibly busy) TPU chip.
+if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    _jax.config.update("jax_platforms", "cpu")
 
 __version__ = "0.1.0"

@@ -32,6 +32,7 @@ from icp_tpu.models.prealign import rotation_search, submap_rotation_search
 from icp_tpu.models.features import feature_based_alignment
 from icp_tpu.models.occupancy import OccupancyGrid2D
 from icp_tpu.models.pose_graph import PoseGraph2D
+from icp_tpu.models.slam_step import make_slam_step, init_state, SlamState
 from icp_tpu.ops.voxel import voxel_downsample_fixed
 from icp_tpu.services.lidar import LidarService
 from icp_tpu.services.imu import IMUService
@@ -54,6 +55,22 @@ def compute_bounds_from_scan(points_2d, margin=50.0):
         float(points_2d[:, 1].min() - margin),
         float(points_2d[:, 1].max() + margin),
     )
+
+
+def _pose_to_vec_np(T: np.ndarray) -> np.ndarray:
+    """[x, y, theta] from a 3x3 pose, host-side (no device round trip)."""
+    return np.array([T[0, 2], T[1, 2], np.arctan2(T[1, 0], T[0, 0])],
+                    np.float32)
+
+
+def _relative_vec_np(Ti: np.ndarray, Tj: np.ndarray) -> np.ndarray:
+    """vec(Ti^-1 Tj), host-side."""
+    R = Ti[:2, :2]
+    t = Ti[:2, 2]
+    Tinv = np.eye(3, dtype=np.float64)
+    Tinv[:2, :2] = R.T
+    Tinv[:2, 2] = -R.T @ t
+    return _pose_to_vec_np(Tinv @ Tj)
 
 
 def _pad_fixed(points: np.ndarray, capacity: int):
@@ -111,6 +128,17 @@ class SlamEngine:
 
         self._cap = cfg.scan_capacity
         self._sub_cap = cfg.submap_capacity
+
+        # Fused single-dispatch path (models/slam_step.py): eligible when
+        # pre-alignment is IMU or rotation-search (the features path keeps
+        # the modular pipeline). Built lazily at the first scan, once the
+        # grid bounds are known.
+        self._fused_eligible = cfg.fused and (
+            cfg.alignment_method in ("rotation_search", "none")
+            or imu is not None
+        )
+        self._step_fn = None
+        self._state: SlamState | None = None
 
     # ── registration front-end (reference slam.py:53-98) ─────────────────
     def _run_icp_pair(self, source: np.ndarray, target: np.ndarray):
@@ -259,9 +287,7 @@ class SlamEngine:
                 T_lc = np.eye(3, dtype=np.float32)
                 T_lc[:2, :2] = r_lc
                 T_lc[:2, 2] = t_lc
-                z_lc = np.asarray(
-                    se2.pose_to_vec(se2.pose_inverse(jnp.asarray(T_lc)))
-                )
+                z_lc = _relative_vec_np(T_lc, np.eye(3, dtype=np.float32))
                 lc_info = np.eye(3, dtype=np.float32) * (
                     cfg.lc_info_scale / max(err_lc, 1e-6)
                 )
@@ -294,6 +320,265 @@ class SlamEngine:
                 print("  Rebuilding occupancy grid ...")
             self._rebuild_map()
         return True
+
+    # ── fused single-dispatch path (models/slam_step.py) ─────────────────
+    def _build_fused(self, first_points: np.ndarray):
+        cfg = self.cfg
+        m = self.mapper
+        self._step_fn, self._batch_fn = make_slam_step(
+            use_imu=self.imu is not None,
+            icp_method=cfg.icp_method,
+            icp_voxel=float(cfg.icp_voxel),
+            icp_max_iterations=int(cfg.icp_max_iterations),
+            icp_normal_k=int(cfg.icp_normal_k),
+            icp_error_threshold=float(cfg.icp_error_threshold),
+            error_reject_threshold=float(cfg.error_reject_threshold),
+            rotation_voxel_size=float(cfg.rotation_voxel_size),
+            angle_step_coarse=float(cfg.angle_step_coarse),
+            angle_step_fine=float(cfg.angle_step_fine),
+            submap_enabled=bool(cfg.submap_enabled),
+            submap_voxel=float(cfg.submap_voxel),
+            submap_capacity=int(cfg.submap_capacity),
+            sub_rot_range=float(cfg.sub_rot_range),
+            sub_rot_step=float(cfg.sub_rot_step),
+            sub_rot_fine=float(cfg.sub_rot_fine),
+            sub_rot_voxel=float(cfg.sub_rot_voxel),
+            sub_corr_dist=float(cfg.sub_corr_dist),
+            imu_narrow=float(cfg.imu_narrow),
+            grid_min_x=m.min_x, grid_min_y=m.min_y,
+            grid_resolution=m.resolution,
+            l_hit=m.l_hit, l_miss=m.l_miss,
+            log_odds_min=m.log_odds_min, log_odds_max=m.log_odds_max,
+            max_ray_cells=int(cfg.max_ray_cells),
+        )
+        sp, sm = _pad_fixed(first_points, self._cap)
+        self._state = init_state(sp, sm, m.log_odds,
+                                 max(int(cfg.submap_size), 1))
+
+    def sync_map(self):
+        """Pull the device-resident grid into the mapper (for export)."""
+        if self._state is not None and self.mapper is not None:
+            self.mapper.log_odds = self._state.log_odds
+
+    def _resync_state_after_lc(self, points_2d: np.ndarray):
+        """Rebuild device state from corrected host history (after pose-graph
+        optimization rewrote poses, reference slam.py:604-620)."""
+        cfg = self.cfg
+        K = max(int(cfg.submap_size), 1)
+        cap = self._cap
+        ring_pts = np.zeros((K, cap, 2), np.float32)
+        ring_mask = np.zeros((K, cap), bool)
+        recent = self.scan_history[-K:]
+        for i, rec in enumerate(recent):
+            gp = rec.points @ rec.pose[:2, :2].T + rec.pose[:2, 2]
+            n = min(gp.shape[0], cap)
+            ring_pts[i, :n] = gp[:n]
+            if n > 0:
+                ring_pts[i, n:] = gp[0]
+            ring_mask[i, :n] = True
+        sp, sm = _pad_fixed(points_2d, cap)
+        self._state = SlamState(
+            prev_pts=sp, prev_mask=sm,
+            global_pose=jnp.asarray(self.global_pose, jnp.float32),
+            ring_pts=jnp.asarray(ring_pts),
+            ring_mask=jnp.asarray(ring_mask),
+            ring_idx=jnp.int32(len(recent)),
+            log_odds=self.mapper.log_odds,
+        )
+
+    def _imu_for(self, rel_time_us, prev_rel):
+        """(imu_yaw, imu_delta) for a scan, host-side (slam.py:455-463)."""
+        if self.imu is None or rel_time_us is None:
+            return None, None
+        raw = self.imu.yaw_at(rel_time_us)
+        yaw = (raw - self.imu_yaw_offset + np.pi) % (2 * np.pi) - np.pi
+        delta = (self.imu.delta_yaw(prev_rel, rel_time_us)
+                 if prev_rel is not None else None)
+        return yaw, delta
+
+    def _bookkeep_fused(self, points_2d, out_pose, out_error, out_accepted,
+                        out_sub, out_err_inc, out_iters) -> bool:
+        """Host bookkeeping for one fused-step result; returns accepted."""
+        self.stats.scans += 1
+        self.stats.icp_iters += int(out_iters)
+        if not out_accepted:
+            if self.verbose:
+                print(f"Scan {self.stats.scans}: S2S error "
+                      f"{out_err_inc:.6f} too high, skipping")
+            self.stats.rejected += 1
+            return False
+        self.global_pose = out_pose
+        if out_sub:
+            self.stats.submap_corrections += 1
+        self.pose_trajectory.append(self.global_pose.copy())
+        cur_idx = self.pose_graph.add_node(_pose_to_vec_np(self.global_pose))
+        z_odom = _relative_vec_np(self.scan_history[cur_idx - 1].pose,
+                                  self.global_pose)
+        self.pose_graph.add_edge(
+            cur_idx - 1, cur_idx, z_odom,
+            np.eye(3, dtype=np.float32) / max(out_error, 1e-6),
+        )
+        self.scan_history.append(
+            ScanRecord(points_2d.copy(), self.global_pose.copy())
+        )
+        if self.verbose:
+            pos = self.global_pose[:2, 2]
+            yaw = np.degrees(np.arctan2(self.global_pose[1, 0],
+                                        self.global_pose[0, 0]))
+            print(f"Scan {self.stats.scans:4d}  err={out_error:.6f}  "
+                  f"pos=({pos[0]:+.3f}, {pos[1]:+.3f})  yaw={yaw:+.2f} deg")
+        return True
+
+    def process_scans_batched(self, scans: list, rel_times: list) -> int:
+        """Fused-batch path: B scans in ONE device dispatch (lax.scan).
+
+        Only used when loop closure is disabled (LC rewrites state
+        mid-stream). Returns number of accepted scans.
+        """
+        B = len(scans)
+        cap = self._cap
+        pts = np.zeros((B, cap, 2), np.float32)
+        msk = np.zeros((B, cap), bool)
+        deltas = np.zeros(B, np.float32)
+        yaws = np.zeros(B, np.float32)
+        prev_rel = self.prev_rel_time
+        for i, (p, r) in enumerate(zip(scans, rel_times)):
+            n = min(p.shape[0], cap)
+            pts[i, :n] = p[:n]
+            if n > 0:
+                pts[i, n:] = p[0]
+            msk[i, :n] = True
+            yaw, delta = self._imu_for(r, prev_rel)
+            yaws[i] = yaw if yaw is not None else 0.0
+            deltas[i] = delta if delta is not None else 0.0
+            prev_rel = r
+
+        t0 = time.perf_counter()
+        self._state, outs = self._batch_fn(
+            self._state, jnp.asarray(pts), jnp.asarray(msk),
+            jnp.asarray(deltas), jnp.asarray(yaws),
+        )
+        outs = jax.device_get(outs)        # one sync per batch
+        self.stats.wall_registration += time.perf_counter() - t0
+
+        accepted = 0
+        for i in range(B):
+            ok = self._bookkeep_fused(
+                scans[i],
+                np.asarray(outs.pose[i]), float(outs.error[i]),
+                bool(outs.accepted[i]), bool(outs.sub_applied[i]),
+                float(outs.err_inc[i]), int(outs.iters[i]),
+            )
+            accepted += bool(ok)
+            self.prev_points = scans[i]
+            self.prev_rel_time = rel_times[i]
+        return accepted
+
+    def _process_scan_fused(self, points_2d, rel_time_us, imu_yaw,
+                            imu_delta) -> bool:
+        cfg = self.cfg
+        t0 = time.perf_counter()
+        sp, sm = _pad_fixed(points_2d, self._cap)
+        self._state, out = self._step_fn(
+            self._state, sp, sm,
+            jnp.float32(imu_delta if imu_delta is not None else 0.0),
+            jnp.float32(imu_yaw if imu_yaw is not None else 0.0),
+        )
+        out = jax.device_get(out)          # single host sync per scan
+        self.stats.wall_registration += time.perf_counter() - t0
+
+        self.prev_points = points_2d
+        self.prev_rel_time = rel_time_us
+        ok = self._bookkeep_fused(
+            points_2d, np.asarray(out.pose), float(out.error),
+            bool(out.accepted), bool(out.sub_applied),
+            float(out.err_inc), int(out.iters),
+        )
+        if not ok:
+            return False
+
+        cur_idx = self.pose_graph.n_nodes - 1
+        if cfg.lc_enabled and cur_idx >= cfg.lc_min_interval:
+            t2 = time.perf_counter()
+            if self._try_loop_closure(points_2d, cur_idx):
+                # _try_loop_closure rebuilt mapper + host buffers from the
+                # corrected history; push the result back into device state
+                self._resync_state_after_lc(points_2d)
+            self.stats.wall_loop_closure += time.perf_counter() - t2
+        return True
+
+    # ── checkpoint / resume (new vs reference, SURVEY.md §5) ─────────────
+    def save_checkpoint(self, path: str):
+        """Persist full SLAM state (poses, scans, graph, grid) to one npz."""
+        self.sync_map()
+        n = len(self.scan_history)
+        pts = [r.points for r in self.scan_history]
+        lens = np.array([len(p) for p in pts], np.int64)
+        flat = (np.concatenate(pts) if n else np.zeros((0, 2), np.float32))
+        np.savez_compressed(
+            path,
+            global_pose=self.global_pose,
+            poses=np.stack([r.pose for r in self.scan_history])
+            if n else np.zeros((0, 3, 3), np.float32),
+            scan_lens=lens,
+            scan_points=flat,
+            log_odds=(np.asarray(self.mapper.log_odds)
+                      if self.mapper is not None else np.zeros((0, 0))),
+            grid_meta=np.array(
+                [self.mapper.min_x, self.mapper.max_x, self.mapper.min_y,
+                 self.mapper.max_y, self.mapper.resolution]
+                if self.mapper is not None else [0, 0, 0, 0, 0.1]),
+            pg_nodes=np.stack(self.pose_graph.nodes)
+            if self.pose_graph.n_nodes else np.zeros((0, 3), np.float32),
+            pg_ei=np.array(self.pose_graph._edges_i, np.int32),
+            pg_ej=np.array(self.pose_graph._edges_j, np.int32),
+            pg_z=np.stack(self.pose_graph._edges_z)
+            if self.pose_graph.n_edges else np.zeros((0, 3), np.float32),
+            pg_om=np.stack(self.pose_graph._edges_om)
+            if self.pose_graph.n_edges else np.zeros((0, 3, 3), np.float32),
+            prev_rel_time=np.array(
+                [self.prev_rel_time if self.prev_rel_time is not None else -1]),
+            imu_yaw_offset=np.array([self.imu_yaw_offset]),
+        )
+
+    def load_checkpoint(self, path: str):
+        """Restore state saved by save_checkpoint; resume streaming after."""
+        cfg = self.cfg
+        d = np.load(path)
+        self.global_pose = d["global_pose"].astype(np.float32)
+        lens = d["scan_lens"]
+        flat = d["scan_points"]
+        poses = d["poses"]
+        self.scan_history = []
+        off = 0
+        for i, ln in enumerate(lens):
+            self.scan_history.append(
+                ScanRecord(flat[off:off + ln].astype(np.float32),
+                           poses[i].astype(np.float32)))
+            off += ln
+        self.pose_trajectory = [r.pose for r in self.scan_history[1:]]
+        gm = d["grid_meta"]
+        if d["log_odds"].size:
+            self.mapper = OccupancyGrid2D(
+                gm[0], gm[1], gm[2], gm[3], resolution=gm[4],
+                p_hit=cfg.p_hit, p_miss=cfg.p_miss,
+                log_odds_min=cfg.log_odds_min, log_odds_max=cfg.log_odds_max,
+                max_ray_cells=cfg.max_ray_cells,
+            )
+            self.mapper.log_odds = jnp.asarray(d["log_odds"])
+        self.pose_graph = PoseGraph2D()
+        for v in d["pg_nodes"]:
+            self.pose_graph.add_node(v)
+        for i, j, z, om in zip(d["pg_ei"], d["pg_ej"], d["pg_z"], d["pg_om"]):
+            self.pose_graph.add_edge(int(i), int(j), z, om)
+        prt = float(d["prev_rel_time"][0])
+        self.prev_rel_time = None if prt < 0 else prt
+        self.imu_yaw_offset = float(d["imu_yaw_offset"][0])
+        if self.scan_history:
+            self.prev_points = self.scan_history[-1].points
+            if self._fused_eligible and self.mapper is not None:
+                self._build_fused(self.scan_history[0].points)
+                self._resync_state_after_lc(self.prev_points)
 
     # ── per-scan state machine ───────────────────────────────────────────
     def process_scan(self, points_2d: np.ndarray, rel_time_us=None) -> bool:
@@ -328,9 +613,9 @@ class SlamEngine:
             self.scan_history.append(
                 ScanRecord(points_2d.copy(), self.global_pose.copy())
             )
-            self.pose_graph.add_node(
-                np.asarray(se2.pose_to_vec(jnp.asarray(self.global_pose)))
-            )
+            self.pose_graph.add_node(_pose_to_vec_np(self.global_pose))
+            if self._fused_eligible:
+                self._build_fused(points_2d)
             return False
 
         # IMU yaw for this scan (slam.py:455-463)
@@ -341,6 +626,10 @@ class SlamEngine:
             imu_yaw = (raw_yaw - self.imu_yaw_offset + np.pi) % (2 * np.pi) - np.pi
             if self.prev_rel_time is not None:
                 imu_delta = self.imu.delta_yaw(self.prev_rel_time, rel_time_us)
+
+        if self._state is not None:
+            return self._process_scan_fused(points_2d, rel_time_us,
+                                            imu_yaw, imu_delta)
 
         # Step 1: scan-to-scan odometry (slam.py:465-483)
         t0 = time.perf_counter()
@@ -378,10 +667,10 @@ class SlamEngine:
             return False
 
         prev_global = self.global_pose.copy()
-        self.global_pose = np.asarray(se2.apply_incremental_pose(
-            jnp.asarray(self.global_pose), jnp.asarray(r_inc),
-            jnp.asarray(t_inc),
-        ))
+        T_inv = np.eye(3, dtype=np.float32)
+        T_inv[:2, :2] = r_inc.T
+        T_inv[:2, 2] = -r_inc.T @ t_inc
+        self.global_pose = (self.global_pose @ T_inv).astype(np.float32)
         error = err_inc
 
         # Step 2: submap drift correction (slam.py:497-536)
@@ -411,13 +700,9 @@ class SlamEngine:
         self.pose_trajectory.append(self.global_pose.copy())
 
         # pose graph node + odometry edge (slam.py:542-549)
-        cur_idx = self.pose_graph.add_node(
-            np.asarray(se2.pose_to_vec(jnp.asarray(self.global_pose)))
-        )
-        z_odom = np.asarray(se2.relative_pose_vec(
-            jnp.asarray(self.scan_history[cur_idx - 1].pose),
-            jnp.asarray(self.global_pose),
-        ))
+        cur_idx = self.pose_graph.add_node(_pose_to_vec_np(self.global_pose))
+        z_odom = _relative_vec_np(self.scan_history[cur_idx - 1].pose,
+                                  self.global_pose)
         odom_info = np.eye(3, dtype=np.float32) / max(error, 1e-6)
         self.pose_graph.add_edge(cur_idx - 1, cur_idx, z_odom, odom_info)
 
@@ -468,7 +753,23 @@ def run_slam(cfg: SlamConfig | dict, verbose: bool = True):
     engine = SlamEngine(cfg, imu=imu, verbose=verbose)
     service = LidarService(cfg.data_file, sleep_s=cfg.sleep_s, loop=cfg.loop)
 
+    # Batched fused stepping amortizes the host<->device round trip; loop
+    # closure needs per-scan host arbitration, so it forces batch size 1.
+    batch_n = 1 if cfg.lc_enabled else max(int(cfg.batch_scans), 1)
+
     scan_counter = 0
+    pend_pts: list[np.ndarray] = []
+    pend_rel: list = []
+
+    def flush():
+        if pend_pts and engine._state is not None:
+            engine.process_scans_batched(pend_pts, pend_rel)
+        else:
+            for p, r in zip(pend_pts, pend_rel):
+                engine.process_scan(p, r)
+        pend_pts.clear()
+        pend_rel.clear()
+
     try:
         for ts, rel_us, raw_points in service.scans():
             scan_counter += 1
@@ -477,10 +778,22 @@ def run_slam(cfg: SlamConfig | dict, verbose: bool = True):
             ) != 1:
                 continue
             points = filter_and_flatten(raw_points, cfg.z_min, cfg.z_max)
-            engine.process_scan(points, rel_us)
-            if cfg.num_scans is not None and engine.stats.scans >= cfg.num_scans:
+            if points.shape[0] < 10:
+                continue
+            if engine._state is None or batch_n == 1:
+                engine.process_scan(points, rel_us)
+            else:
+                pend_pts.append(points)
+                pend_rel.append(rel_us)
+                if len(pend_pts) >= batch_n:
+                    flush()
+            if cfg.num_scans is not None and (
+                engine.stats.scans + len(pend_pts) >= cfg.num_scans
+            ):
                 break
+        flush()
     except KeyboardInterrupt:
         print("Stopping SLAM loop...")
 
+    engine.sync_map()
     return engine.global_pose, engine.pose_trajectory, engine.mapper, engine

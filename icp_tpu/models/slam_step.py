@@ -1,0 +1,254 @@
+"""Fused per-scan SLAM step — ONE device dispatch per scan.
+
+The modular engine issues ~20 small device calls + host syncs per scan;
+through a remote-attached TPU each round trip costs milliseconds, so
+dispatch overhead dominated the compute 10:1. This module fuses the entire
+per-scan pipeline (scan-to-scan ICP, rejection gate, submap voxelization +
+rotation sweep + submap ICP + agreement gates, occupancy ray trace, submap
+ring push) into a single jitted function over a device-resident state:
+
+  host -> device: the new scan (one small transfer)
+  device: everything
+  device -> host: pose + error + flags (one tiny transfer)
+
+Data-dependent accept/reject branching (reference slam.py:485-536) is
+computed in-graph with masks/selects — a rejected scan freezes the pose and
+zeroes the map/submap updates, exactly the reference's skip semantics.
+
+The submap rolling window (reference slam.py:559-562 FIFO) is a circular
+(K, cap, 2) ring buffer on device; the submap consumer voxel-merges all
+slots, so circular overwrite == FIFO eviction.
+
+The occupancy grid is donated in/out, so log-odds updates are in-place in
+HBM.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from icp_tpu.models.icp import icp_core
+from icp_tpu.models.prealign import rotation_search, submap_rotation_search
+from icp_tpu.ops.raytrace import raytrace_update
+from icp_tpu.ops.voxel import voxel_downsample, voxel_downsample_fixed
+from icp_tpu.utils import se2
+
+
+class SlamState(NamedTuple):
+    """Device-resident streaming state."""
+    prev_pts: jax.Array      # (cap, 2) previous scan (sensor frame)
+    prev_mask: jax.Array     # (cap,)
+    global_pose: jax.Array   # (3, 3)
+    ring_pts: jax.Array      # (K, cap, 2) global-frame scans
+    ring_mask: jax.Array     # (K, cap)
+    ring_idx: jax.Array      # scalar int32 — next slot to write
+    log_odds: jax.Array      # (ny, nx)
+
+
+class StepOut(NamedTuple):
+    pose: jax.Array          # (3, 3) pose after this scan
+    error: jax.Array         # registration error used (post-submap)
+    accepted: jax.Array      # bool — scan advanced the trajectory
+    sub_applied: jax.Array   # bool — submap correction replaced the pose
+    err_inc: jax.Array       # raw scan-to-scan ICP error
+    iters: jax.Array         # s2s ICP iterations
+
+
+def init_state(first_scan, first_mask, log_odds, ring_k: int):
+    """Device state after the reference's first-scan initialization.
+
+    ``log_odds`` is the grid already containing the first scan's update
+    (the engine performs the first update through the modular path while
+    establishing bounds).
+    """
+    cap = first_scan.shape[0]
+    ring_pts = jnp.zeros((ring_k, cap, 2), jnp.float32)
+    ring_mask = jnp.zeros((ring_k, cap), bool)
+    # slot 0 <- first scan in global frame (identity pose)
+    ring_pts = ring_pts.at[0].set(first_scan)
+    ring_mask = ring_mask.at[0].set(first_mask)
+    return SlamState(
+        prev_pts=first_scan,
+        prev_mask=first_mask,
+        global_pose=jnp.eye(3, dtype=jnp.float32),
+        ring_pts=ring_pts,
+        ring_mask=ring_mask,
+        ring_idx=jnp.int32(1),
+        log_odds=jnp.asarray(log_odds, jnp.float32),
+    )
+
+
+def make_slam_step(
+    *,
+    use_imu: bool,
+    icp_method: str,
+    icp_voxel: float,
+    icp_max_iterations: int,
+    icp_normal_k: int,
+    icp_error_threshold: float,
+    error_reject_threshold: float,
+    # no-IMU pre-alignment (rotation search)
+    rotation_voxel_size: float,
+    angle_step_coarse: float,
+    angle_step_fine: float,
+    # submap
+    submap_enabled: bool,
+    submap_voxel: float,
+    submap_capacity: int,
+    sub_rot_range: float,
+    sub_rot_step: float,
+    sub_rot_fine: float,
+    sub_rot_voxel: float,
+    sub_corr_dist: float,
+    imu_narrow: float,
+    # mapping
+    grid_min_x: float,
+    grid_min_y: float,
+    grid_resolution: float,
+    l_hit: float,
+    l_miss: float,
+    log_odds_min: float,
+    log_odds_max: float,
+    max_ray_cells: int,
+):
+    """Build the fused jitted step for a fixed configuration + grid."""
+
+    inv_res = 1.0 / grid_resolution
+    grid_min = np.array([grid_min_x, grid_min_y], np.float32)
+
+    def step(state: SlamState, cur_pts, cur_mask, imu_delta, imu_yaw):
+        # ── Step 1: scan-to-scan odometry (slam.py:465-483) ──────────────
+        if use_imu:
+            R0 = se2.rotmat(imu_delta)
+            t0 = jnp.zeros(2, jnp.float32)
+        else:
+            R0, t0, _ = rotation_search(
+                state.prev_pts, state.prev_mask, cur_pts, cur_mask,
+                voxel_size=rotation_voxel_size,
+                angle_step_coarse=angle_step_coarse,
+                angle_step_fine=angle_step_fine,
+            )
+        src_d, src_dm = voxel_downsample(state.prev_pts, state.prev_mask,
+                                         icp_voxel)
+        tgt_d, tgt_dm = voxel_downsample(cur_pts, cur_mask, icp_voxel)
+        res = icp_core(
+            src_d, src_dm, tgt_d, tgt_dm, R0, t0,
+            method=icp_method,
+            max_iterations=icp_max_iterations,
+            normal_k=icp_normal_k,
+            error_threshold=icp_error_threshold,
+        )
+        err_inc = res.error
+        accepted = err_inc <= error_reject_threshold   # slam.py:485
+
+        new_pose = se2.apply_incremental_pose(state.global_pose, res.R, res.t)
+        new_pose = jnp.where(accepted, new_pose, state.global_pose)
+        error = err_inc
+
+        # ── Step 2: submap correction (slam.py:497-536) ─────────────────
+        sub_applied = jnp.bool_(False)
+        if submap_enabled:
+            flat_pts = state.ring_pts.reshape(-1, 2)
+            flat_mask = state.ring_mask.reshape(-1)
+            sub_pts, sub_mask = voxel_downsample_fixed(
+                flat_pts, flat_mask, submap_voxel, submap_capacity
+            )
+            if use_imu:
+                pred = se2.make_pose(se2.rotmat(imu_yaw), new_pose[:2, 2])
+                a_range, a_step = imu_narrow, 0.5
+            else:
+                pred = new_pose
+                a_range, a_step = sub_rot_range, sub_rot_step
+            R_s, t_s = submap_rotation_search(
+                cur_pts, cur_mask, sub_pts, sub_mask, pred,
+                angle_range=a_range, angle_step=a_step,
+                fine_step=sub_rot_fine, voxel_size=sub_rot_voxel,
+            )
+            cur_d, cur_dm = voxel_downsample(cur_pts, cur_mask, icp_voxel)
+            res_sub = icp_core(
+                cur_d, cur_dm, sub_pts, sub_mask, R_s, t_s,
+                method="point_to_point",
+                max_iterations=icp_max_iterations,
+                error_threshold=icp_error_threshold,
+                max_corr_dist=sub_corr_dist,
+                use_gate=True,
+            )
+            pos_diff = jnp.linalg.norm(res_sub.t - new_pose[:2, 2])
+            sub_yaw = jnp.arctan2(res_sub.R[1, 0], res_sub.R[0, 0])
+            inc_yaw = se2.yaw_of_pose(new_pose)
+            yaw_diff = jnp.abs(se2.wrap_angle(sub_yaw - inc_yaw))
+            sub_ok = (
+                accepted
+                & (res_sub.error <= error_reject_threshold)
+                & (pos_diff < sub_corr_dist)
+                & (yaw_diff < jnp.deg2rad(15.0))
+            )
+            sub_pose = se2.make_pose(res_sub.R, res_sub.t)
+            new_pose = jnp.where(sub_ok, sub_pose, new_pose)
+            error = jnp.where(sub_ok, res_sub.error, error)
+            sub_applied = sub_ok
+
+        # ── map update (slam.py:551-557) ────────────────────────────────
+        gp = se2.transform_points(cur_pts, new_pose)
+        eff_mask = cur_mask & accepted
+        origin_cell = jnp.floor(
+            (new_pose[:2, 2] - grid_min) * inv_res
+        ).astype(jnp.int32)
+        hit_cells = jnp.floor((gp - grid_min) * inv_res).astype(jnp.int32)
+        log_odds = raytrace_update(
+            state.log_odds, origin_cell, hit_cells, eff_mask,
+            jnp.float32(l_hit), jnp.float32(l_miss),
+            jnp.float32(log_odds_min), jnp.float32(log_odds_max),
+            max_steps=max_ray_cells,
+        )
+
+        # ── submap ring push (slam.py:559-562) ──────────────────────────
+        K = state.ring_pts.shape[0]
+        slot = state.ring_idx % K
+        ring_pts = jnp.where(
+            accepted,
+            state.ring_pts.at[slot].set(gp),
+            state.ring_pts,
+        )
+        ring_mask = jnp.where(
+            accepted,
+            state.ring_mask.at[slot].set(cur_mask),
+            state.ring_mask,
+        )
+        ring_idx = state.ring_idx + accepted.astype(jnp.int32)
+
+        new_state = SlamState(
+            prev_pts=cur_pts,
+            prev_mask=cur_mask,
+            global_pose=new_pose,
+            ring_pts=ring_pts,
+            ring_mask=ring_mask,
+            ring_idx=ring_idx,
+            log_odds=log_odds,
+        )
+        out = StepOut(
+            pose=new_pose, error=error, accepted=accepted,
+            sub_applied=sub_applied, err_inc=err_inc, iters=res.iters,
+        )
+        return new_state, out
+
+    def batch(state: SlamState, scans, masks, imu_deltas, imu_yaws):
+        """Process a whole (B, cap, 2) batch of scans in ONE dispatch.
+
+        The per-scan recurrence runs as a lax.scan on device; the host sees
+        one upload and one small stacked-StepOut download per batch, which
+        amortizes the host<->device round trip that dominates when the TPU
+        is attached over a network tunnel.
+        """
+        return jax.lax.scan(
+            lambda st, xs: step(st, xs[0], xs[1], xs[2], xs[3]),
+            state, (scans, masks, imu_deltas, imu_yaws),
+        )
+
+    return jax.jit(step, donate_argnums=(0,)), jax.jit(
+        batch, donate_argnums=(0,)
+    )

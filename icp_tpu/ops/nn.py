@@ -33,17 +33,27 @@ _PREC = lax.Precision.HIGHEST
 def pairwise_sqdist(a, b, b_mask=None, center=None):
     """Squared L2 distances between rows of a (N, D) and b (M, D) -> (N, M).
 
-    Masked columns (b_mask False) are set to BIG. This is the TPU analogue of
-    the reference's ``_pairwise_sq`` (/root/reference/utilities/features.py:22-30)
-    with an extra centering step for f32 robustness.
+    Masked columns (b_mask False) are set to BIG. TPU analogue of the
+    reference's ``_pairwise_sq`` (/root/reference/utilities/features.py:22-30).
+
+    For low-D geometry the broadcast-difference form (XLA fuses it into one
+    pass producing only the (N, M) output) is both faster than the
+    ||a||^2+||b||^2-2ab MXU expansion and exact in f32 — the expansion's
+    cancellation perturbs argmin tie-breaking. For high-D descriptor rows
+    (D >= 8) the MXU expansion wins; both paths are kept.
     """
     if center is not None:
         a = a - center
         b = b - center
-    a_sq = jnp.sum(a * a, axis=-1, keepdims=True)          # (N, 1)
-    b_sq = jnp.sum(b * b, axis=-1, keepdims=True)          # (M, 1)
-    cross = jnp.dot(a, b.T, precision=_PREC)               # MXU: (N, M)
-    d = jnp.maximum(a_sq + b_sq.T - 2.0 * cross, 0.0)
+    if a.shape[-1] <= 4:
+        d = jnp.sum(
+            (a[:, None, :] - b[None, :, :]) ** 2, axis=-1
+        )
+    else:
+        a_sq = jnp.sum(a * a, axis=-1, keepdims=True)      # (N, 1)
+        b_sq = jnp.sum(b * b, axis=-1, keepdims=True)      # (M, 1)
+        cross = jnp.dot(a, b.T, precision=_PREC)           # MXU: (N, M)
+        d = jnp.maximum(a_sq + b_sq.T - 2.0 * cross, 0.0)
     if b_mask is not None:
         d = jnp.where(b_mask[None, :], d, BIG)
     return d

@@ -31,46 +31,43 @@ def bresenham_cells(origin_cell, end_cells, valid, *, max_steps: int):
     """All free-space cells along Bresenham rays origin -> each endpoint.
 
     origin_cell: (2,) int32 (ix, iy); end_cells: (N, 2) int32; valid: (N,).
-    Returns (cells (S, N, 2) int32, active (S, N) bool) — active marks
-    emitted (pre-endpoint) cells, exactly the reference's `_bresenham` list.
+    Returns (cells (S, N, 2) int32, active (S, N) bool) — emitted
+    (pre-endpoint) cells, exactly the reference's `_bresenham` list.
+
+    Closed form, no sequential loop: the reference's integer Bresenham
+    (diagonal-step variant, mapping.py:68-89) advances the major axis every
+    iteration and the minor axis whenever 2*err crosses the threshold;
+    solving the err recurrence gives, after s iterations,
+
+        minor_steps(s) = max(0, (2*s*m + M - 1) // (2*M))
+
+    with M = max(|dx|, |dy|), m = min(|dx|, |dy|). Verified exhaustively
+    against the loop (tests/test_raytrace.py). This turns an O(max_steps)
+    lax.scan of tiny VPU ops into one broadcasted (S, N) computation.
     """
     x0 = origin_cell[0]
     y0 = origin_cell[1]
     x1 = end_cells[:, 0]
     y1 = end_cells[:, 1]
-    n = x1.shape[0]
 
-    dx = jnp.abs(x1 - x0)
+    dx = jnp.abs(x1 - x0)                                   # (N,)
     dy = jnp.abs(y1 - y0)
     sx = jnp.where(x0 < x1, 1, -1).astype(jnp.int32)
     sy = jnp.where(y0 < y1, 1, -1).astype(jnp.int32)
+    M = jnp.maximum(dx, dy)
+    m = jnp.minimum(dx, dy)
 
-    def step(carry, _):
-        x, y, err, done = carry
-        at_end = (x == x1) & (y == y1)
-        done = done | at_end
-        active = jnp.logical_not(done) & valid
-        cell = jnp.stack([x, y], axis=-1)
-        e2 = 2 * err
-        step_x = e2 > -dy
-        step_y = e2 < dx
-        err_new = err - jnp.where(step_x, dy, 0) + jnp.where(step_y, dx, 0)
-        x_new = x + jnp.where(step_x, sx, 0)
-        y_new = y + jnp.where(step_y, sy, 0)
-        x = jnp.where(active, x_new, x)
-        y = jnp.where(active, y_new, y)
-        err = jnp.where(active, err_new, err)
-        return (x, y, err, done), (cell, active)
-
-    # derive carries from the (possibly device-varying) endpoint arrays so
-    # shard_map's varying-axis tracking stays consistent across scan steps
-    x_init = jnp.zeros_like(x1) + x0
-    y_init = jnp.zeros_like(y1) + y0
-    err_init = (dx - dy).astype(jnp.int32)
-    done_init = valid ^ valid  # all-False, same varying axes as `valid`
-    _, (cells, active) = lax.scan(
-        step, (x_init, y_init, err_init, done_init), None, length=max_steps
-    )
+    s = lax.broadcasted_iota(jnp.int32, (max_steps, 1), 0)  # (S, 1)
+    denom = jnp.maximum(2 * M, 1)[None, :]                  # (1, N)
+    minor = jnp.maximum(
+        0, (2 * s * m[None, :] + M[None, :] - 1) // denom
+    )                                                       # (S, N)
+    major = jnp.broadcast_to(s, minor.shape)
+    x_major = dx >= dy
+    x = x0 + sx[None, :] * jnp.where(x_major[None, :], major, minor)
+    y = y0 + sy[None, :] * jnp.where(x_major[None, :], minor, major)
+    cells = jnp.stack([x, y], axis=-1)                      # (S, N, 2)
+    active = valid[None, :] & (s < M[None, :])
     return cells, active
 
 

@@ -113,6 +113,8 @@ class SlamConfig:
     scan_capacity: int = 1024
     submap_capacity: int = 8192
     max_ray_cells: int = 2048
+    fused: bool = True
+    batch_scans: int = 8
 
     @classmethod
     def from_dict(cls, cfg: dict) -> "SlamConfig":
@@ -190,6 +192,8 @@ class SlamConfig:
         c.scan_capacity = t.get("scan_capacity", 1024)
         c.submap_capacity = t.get("submap_capacity", 8192)
         c.max_ray_cells = t.get("max_ray_cells", 2048)
+        c.fused = t.get("fused", True)
+        c.batch_scans = t.get("batch_scans", 8)
         return c
 
     @classmethod

@@ -39,7 +39,7 @@ def test_extract_keypoints_greedy_nms_matches_oracle():
 
     # clean-room oracle of reference extract_keypoints (features.py:57-71)
     n = pts.shape[0]
-    order = np.argsort(-curv[:n])
+    order = np.argsort(-curv[:n], kind="stable")  # jnp.argsort is stable
     kp = []
     for idx in order:
         if len(kp) >= 50:
@@ -66,11 +66,13 @@ def test_match_descriptors_ratio_test():
     ok = np.asarray(ok)
     j = np.asarray(j)
     assert ok[0] and j[0] == 0       # clear best match
-    assert not ok[1]                 # ambiguous: (5,5) between (4,4) and (9,9)? -> ratio fails only if close
-    # row1: d to (4,4)=2, to (9,9)=32 -> 2 < 0.64*32 passes... verify oracle:
-    # squared dists: [ (5-4)^2*2=2, (5-9)^2*2=32 ] -> 2 < 0.64*32=20.5 -> passes
-    # so expectation must be True
+    # row1 squared dists: [(5-4)^2*2=2, (5-9)^2*2=32]; 2 < 0.64*32 -> passes
     assert ok[1] and j[1] == 1
+    # ambiguous case: two nearly-equal candidates must fail the ratio test
+    db2 = np.array([[4.9, 4.9], [5.1, 5.1], [0.0, 1.0]], np.float32)
+    j2, ok2 = match_descriptors(jnp.asarray(da), jnp.asarray(ma),
+                                jnp.asarray(db2), jnp.asarray(mb), 0.8)
+    assert not np.asarray(ok2)[1]
 
 
 def test_ransac_recovers_transform_with_outliers():

@@ -1,0 +1,59 @@
+"""Pallas NN kernel vs the XLA formulation (interpret mode on CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from icp_tpu.ops.nn import nn_query
+
+
+def _pallas_interpret(source, target, tgt_mask, tn=128, tm=128):
+    """Run the kernel body in interpreter mode (no TPU needed)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from icp_tpu.ops.pallas import nn_kernel as K
+
+    n, m = source.shape[0], target.shape[0]
+    sx = source[:, 0:1]
+    sy = source[:, 1:2]
+    tx = target[:, 0].reshape(1, m)
+    ty = target[:, 1].reshape(1, m)
+    tmk = tgt_mask.astype(jnp.float32).reshape(1, m)
+    dist, idx = pl.pallas_call(
+        K._nn_kernel,
+        grid=(n // tn, m // tm),
+        in_specs=[
+            pl.BlockSpec((tn, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((tn, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, tm), lambda i, j: (0, j)),
+            pl.BlockSpec((1, tm), lambda i, j: (0, j)),
+            pl.BlockSpec((1, tm), lambda i, j: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tn, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((tn, 1), lambda i, j: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tn, 1), jnp.float32),
+            pltpu.VMEM((tn, 1), jnp.int32),
+        ],
+        interpret=True,
+    )(sx, sy, tx, ty, tmk)
+    return dist[:, 0], idx[:, 0]
+
+
+def test_pallas_nn_matches_xla_interpret():
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.uniform(-5, 5, (256, 2)), jnp.float32)
+    tgt = jnp.asarray(rng.uniform(-5, 5, (384, 2)), jnp.float32)
+    mask = jnp.asarray(np.arange(384) < 300)
+
+    d_ref, i_ref = nn_query(src, tgt, mask)
+    d_pal, i_pal = _pallas_interpret(src, tgt, mask)
+    np.testing.assert_allclose(np.asarray(d_pal),
+                               np.asarray(d_ref) ** 2, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))

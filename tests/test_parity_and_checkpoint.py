@@ -1,0 +1,136 @@
+"""A/B parity: TPU engine vs the NumPy/SciPy mini-reference on the same
+sequence (SURVEY.md §6 — trajectories must agree within an ATE bound, not
+bit-exactly), plus checkpoint/resume."""
+import numpy as np
+import pytest
+
+from benchmarks.baseline_np import BaselineSlam
+from icp_tpu.engine import SlamEngine, filter_and_flatten, run_slam
+from icp_tpu.services.lidar import LidarService
+from icp_tpu.services.imu import IMUService
+from icp_tpu.utils.config import SlamConfig
+from icp_tpu.utils.synth import generate_sequence
+
+
+@pytest.fixture(scope="module")
+def seq(tmp_path_factory):
+    d = tmp_path_factory.mktemp("parity")
+    lidar = str(d / "lidar.csv")
+    imu = str(d / "imu.csv")
+    gt = generate_sequence(lidar, imu, n_scans=60, n_beams=720, noise=0.005,
+                           trajectory="loop", seed=11)
+    scans = []
+    rels = []
+    for ts, rel, raw in LidarService(lidar).scans():
+        scans.append(filter_and_flatten(raw, 0.5, 2.0))
+        rels.append(rel)
+    return scans, rels, imu, gt
+
+
+CFG = {
+    "imu": {"enabled": True, "narrow_search_range": 3.0},
+    # reject threshold is loose: the coarse 60-scan fixture has large
+    # inter-scan motion, and a triggered rejection gate drops real motion
+    # (matching the reference's behavior but ruining an A/B accuracy test)
+    "icp": {"method": "point_to_line", "normal_k": 10, "voxel_size": 0.05,
+            "error_threshold": 1e-9, "max_iterations": 60,
+            "error_reject_threshold": 5.0},
+    "features": {"method": "rotation_search"},
+    "submap": {"enabled": True, "size": 10, "voxel_size": 0.05,
+               "max_corr_dist": 1.0, "rotation_range": 10.0,
+               "rotation_step": 1.0, "rotation_fine_step": 0.25,
+               "rotation_voxel_size": 0.2},
+    "loop_closure": {"enabled": False},
+    "filter": {"z_min": 0.5, "z_max": 2.0},
+    "mapping": {"resolution": 0.1, "margin": 20.0},
+    "tpu": {"scan_capacity": 1024, "submap_capacity": 4096,
+            "max_ray_cells": 512, "batch_scans": 8},
+}
+
+
+def test_trajectory_parity_vs_numpy_baseline(seq):
+    scans, rels, imu_file, gt = seq
+    imu = IMUService(imu_file)
+
+    cfg = SlamConfig.from_dict(dict(CFG))
+    cfg.imu_file = imu_file
+    eng = SlamEngine(cfg, imu=imu, verbose=False)
+    for p, r in zip(scans, rels):
+        eng.process_scan(p, r)
+    ours = np.stack([p[:2, 2] for p in eng.pose_trajectory])
+
+    imu_yaws = np.array([imu.yaw_at(r) for r in rels])
+    base = BaselineSlam({
+        "method": "point_to_line", "normal_k": 10, "voxel_size": 0.05,
+        "error_threshold": 1e-9, "max_iterations": 60,
+        "error_reject_threshold": 5.0,
+        "rotation_voxel_size": 0.2, "angle_step_coarse": 3.0,
+        "angle_step_fine": 0.5,
+        "submap_enabled": True, "submap_size": 10, "submap_voxel": 0.05,
+        "sub_corr_dist": 1.0, "sub_rot_range": 10.0, "sub_rot_step": 1.0,
+        "sub_rot_fine": 0.25, "sub_rot_voxel": 0.2, "imu_narrow": 3.0,
+    }, imu_yaws=imu_yaws)
+    for p in scans:
+        base.step(p.astype(np.float64))
+    theirs = np.stack([p[:2, 2] for p in base.trajectory])
+
+    # Iterative ICP amplifies tiny numeric differences chaotically, so the
+    # meaningful parity check is accuracy-vs-ground-truth equivalence, not
+    # pointwise trajectory equality (SURVEY.md §7 "numerical parity under a
+    # different NN rule": compare trajectories via ATE bounds).
+    def _gt_rel(gt):
+        x0, y0, th0 = gt[0]
+        c, s = np.cos(-th0), np.sin(-th0)
+        return (gt[:, :2] - [x0, y0]) @ np.array([[c, -s], [s, c]]).T
+
+    want = _gt_rel(gt)
+    ate_ours = np.sqrt(np.mean(np.sum(
+        (ours - want[1:len(ours) + 1]) ** 2, axis=1)))
+    ate_base = np.sqrt(np.mean(np.sum(
+        (theirs - want[1:len(theirs) + 1]) ** 2, axis=1)))
+    # ours must be at least as accurate as the NumPy reference (+ margin)
+    assert ate_ours < max(2 * ate_base, 0.35), (
+        f"ours ATE {ate_ours:.3f} vs baseline ATE {ate_base:.3f}")
+
+
+def test_checkpoint_roundtrip(seq, tmp_path):
+    scans, rels, imu_file, gt = seq
+    imu = IMUService(imu_file)
+    cfg = SlamConfig.from_dict(dict(CFG))
+
+    # run A: all scans in one go
+    full = SlamEngine(cfg, imu=imu, verbose=False)
+    for p, r in zip(scans[:40], rels[:40]):
+        full.process_scan(p, r)
+
+    # run B: first half, checkpoint, restore into a fresh engine, second half
+    eng1 = SlamEngine(cfg, imu=imu, verbose=False)
+    for p, r in zip(scans[:20], rels[:20]):
+        eng1.process_scan(p, r)
+    ck = str(tmp_path / "state.npz")
+    eng1.save_checkpoint(ck)
+
+    eng2 = SlamEngine(cfg, imu=imu, verbose=False)
+    eng2.load_checkpoint(ck)
+    assert len(eng2.scan_history) == len(eng1.scan_history)
+    np.testing.assert_allclose(eng2.global_pose, eng1.global_pose, atol=1e-6)
+    for p, r in zip(scans[20:40], rels[20:40]):
+        eng2.process_scan(p, r)
+
+    # resumed trajectory must keep tracking the uninterrupted run: the
+    # shared prefix is identical; post-resume scans may diverge by f32
+    # chaos (iterative ICP) but must stay within a tight ATE bound
+    a = np.stack([p[:2, 2] for p in full.pose_trajectory])
+    b = np.stack([p[:2, 2] for p in eng2.pose_trajectory])
+    n = min(len(a), len(b))
+    assert n >= 35
+    np.testing.assert_allclose(a[:19], b[:19], atol=1e-5)  # prefix exact
+    ate = np.sqrt(np.mean(np.sum((a[:n] - b[:n]) ** 2, axis=1)))
+    assert ate < 0.3, f"post-resume divergence ATE {ate:.3f} m"
+
+    # map survives the round trip
+    full.sync_map()
+    eng2.sync_map()
+    pa = full.mapper.to_probability()
+    pb = eng2.mapper.to_probability()
+    assert abs((pa > 0.6).sum() - (pb > 0.6).sum()) < 0.1 * max((pa > 0.6).sum(), 1)

@@ -1,0 +1,88 @@
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _write_cloud_csv(path, pts):
+    with open(path, "w") as f:
+        f.write(",".join(f"{v:.5f}" for v in np.asarray(pts).reshape(-1)))
+
+
+def _write_lidar_csv(path, scans):
+    with open(path, "w") as f:
+        for k, pts in enumerate(scans):
+            row = ";".join(f"{v:.4f}" for v in np.asarray(pts).reshape(-1))
+            f.write(f"{1000+k};{row}\n")
+
+
+def _run(args):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run([sys.executable] + args, capture_output=True,
+                          text=True, cwd=REPO, env=env, timeout=300)
+
+
+def test_png_writer(tmp_path):
+    from icp_tpu.utils.raster import write_png, Canvas
+    img = np.zeros((10, 12, 3), np.uint8)
+    img[2:5, 3:7] = [255, 0, 0]
+    p = str(tmp_path / "t.png")
+    write_png(p, img)
+    data = open(p, "rb").read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    c = Canvas(-1, 1, -1, 1, width=64)
+    c.scatter(np.array([[0.0, 0.0]]), "red", 3)
+    c.polyline(np.array([[-0.5, -0.5], [0.5, 0.5]]), "cyan")
+    c.save(str(tmp_path / "c.png"))
+    assert os.path.getsize(tmp_path / "c.png") > 100
+
+
+def test_pcview_tool(tmp_path):
+    rng = np.random.default_rng(0)
+    f = str(tmp_path / "cloud.csv")
+    _write_cloud_csv(f, rng.uniform(-1, 1, (50, 3)))
+    out = str(tmp_path / "view.png")
+    r = _run(["tools/pcview.py", f, "-o", out])
+    assert r.returncode == 0, r.stderr[-500:]
+    assert os.path.exists(out)
+
+
+def test_pcplayer_tool(tmp_path):
+    rng = np.random.default_rng(1)
+    f = str(tmp_path / "scans.csv")
+    scans = [np.column_stack([rng.uniform(-2, 2, (30, 2)),
+                              np.full(30, 1.2)]) for _ in range(6)]
+    _write_lidar_csv(f, scans)
+    outdir = str(tmp_path / "frames")
+    r = _run(["tools/pcplayer.py", f, "-o", outdir, "--every", "2"])
+    assert r.returncode == 0, r.stderr[-500:]
+    assert os.path.exists(os.path.join(outdir, "overlay.png"))
+    assert len([x for x in os.listdir(outdir) if x.startswith("scan_")]) >= 3
+
+
+def test_pcman_tool(tmp_path):
+    rng = np.random.default_rng(2)
+    f = str(tmp_path / "cloud.csv")
+    _write_cloud_csv(f, rng.uniform(-1, 1, (40, 3)))
+    out = str(tmp_path / "tr.csv")
+    r = _run(["tools/pcman.py", f, "-o", out, "--yaw", "30", "--tx", "0.5",
+              "--png", str(tmp_path / "ba.png")])
+    assert r.returncode == 0, r.stderr[-500:]
+    from tools.pcview import load_cloud
+    orig = load_cloud(f)
+    got = load_cloud(out)
+    assert got.shape == orig.shape
+    # transform preserved pairwise distances (rigid)
+    d0 = np.linalg.norm(orig[0] - orig[1])
+    d1 = np.linalg.norm(got[0] - got[1])
+    assert abs(d0 - d1) < 1e-4
+
+
+def test_teapot_demo_runs():
+    r = _run(["demos/teapot_icp_demo.py"])
+    assert r.returncode == 0, r.stdout[-800:] + r.stderr[-500:]
+    assert "PASS" in r.stdout

