@@ -89,6 +89,7 @@ def main():
     t0 = time.perf_counter()
     for k in range(start, start + n_timed, B):
         engine.process_scans_batched(scans[k:k + B], rels[k:k + B])
+    engine.finish()
     wall = time.perf_counter() - t0
     ours = n_timed / wall
     log(f"tpu engine: {ours:.2f} scans/s ({wall:.1f}s for {n_timed} scans, "

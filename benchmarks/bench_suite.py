@@ -1,0 +1,195 @@
+"""Full benchmark suite — the five BASELINE.json configs, one JSON line each.
+
+  1. teapot: point-to-point ICP aligning a known-transformed 3D cloud
+  2. scan2scan: ICP-only odometry on the synthetic 1007-format sequence
+  3. full: IMU + submap pipeline (same as the headline bench.py)
+  4. lc: full config incl. pose-graph loop closure + mapping
+  5. dist: scaled synthetic pose graph, distributed GN (see
+     bench_distributed.py; invoked here at reduced size)
+
+Usage: python benchmarks/bench_suite.py [names...]   (default: all)
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _ensure_data():
+    from icp_tpu.utils.synth import generate_sequence
+    os.makedirs("data", exist_ok=True)
+    lidar, imu = "data/bench_lidar.csv", "data/bench_imu.csv"
+    if not (os.path.exists(lidar) and os.path.exists(imu)):
+        generate_sequence(lidar, imu, n_scans=200, n_beams=720, noise=0.005,
+                          trajectory="loop", seed=42)
+    return lidar, imu
+
+
+def bench_teapot():
+    import jax
+    import jax.numpy as jnp
+    from icp_tpu.models.icp import icp
+    from icp_tpu.utils.masking import pad_points
+
+    rng = np.random.default_rng(7)
+    target = rng.uniform(-1.5, 1.5, (418, 3)).astype(np.float32)
+    th = np.deg2rad(25.0)
+    R = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                  [-np.sin(th), 0, np.cos(th)]], np.float32)
+    src = (target - [0.3, -0.2, 0.25]) @ R
+    sp, sm = pad_points(src, 512)
+    tp, tm = pad_points(target, 512)
+    args = (jnp.asarray(sp), jnp.asarray(sm), jnp.asarray(tp), jnp.asarray(tm),
+            jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
+
+    def run():
+        return icp(*args, voxel_size=0.005, method="point_to_point",
+                   max_iterations=300, error_threshold=1e-12)
+
+    res = run()
+    jax.block_until_ready(res.R)
+    t0 = time.perf_counter()
+    REPS = 20
+    total_iters = 0
+    for _ in range(REPS):
+        res = run()
+        total_iters += int(res.iters)
+    dt = (time.perf_counter() - t0) / REPS
+    return {
+        "metric": "teapot_icp_iters_per_sec",
+        "value": round(total_iters / REPS / dt, 1),
+        "unit": "iters/s",
+        "ms_per_align": round(dt * 1000, 2),
+        "error": float(res.error),
+    }
+
+
+def _run_pipeline(submap: bool, lc: bool):
+    import jax
+    from icp_tpu.utils.config import SlamConfig
+    from icp_tpu.services.lidar import LidarService
+    from icp_tpu.services.imu import IMUService
+    from icp_tpu.engine import SlamEngine, filter_and_flatten
+
+    lidar, imu_f = _ensure_data()
+    cfg = SlamConfig.from_dict({
+        "data_file": lidar,
+        "imu": {"enabled": True, "file": imu_f, "narrow_search_range": 3.0},
+        "icp": {"method": "point_to_line", "normal_k": 12, "voxel_size": 0.04,
+                "error_threshold": 1e-10, "max_iterations": 150,
+                "error_reject_threshold": 0.5},
+        "features": {"method": "rotation_search", "rotation_voxel_size": 0.15,
+                     "angle_step_coarse": 1.5, "angle_step_fine": 0.1},
+        "submap": {"enabled": submap, "size": 40, "voxel_size": 0.04,
+                   "max_corr_dist": 1.5, "rotation_range": 60.0,
+                   "rotation_step": 0.8, "rotation_fine_step": 0.1,
+                   "rotation_voxel_size": 0.2},
+        "loop_closure": {"enabled": lc, "distance_threshold": 3.0,
+                         "min_interval": 80, "min_cumulative_travel": 6.0,
+                         "max_candidates": 5, "error_threshold": 0.08,
+                         "optimization_iterations": 30,
+                         "information_scale": 5.0},
+        "filter": {"z_min": 0.5, "z_max": 2.0},
+        "mapping": {"resolution": 0.05, "margin": 50.0},
+        "tpu": {"scan_capacity": 1024, "submap_capacity": 8192,
+                "max_ray_cells": 640, "batch_scans": 16},
+    })
+    scans, rels = [], []
+    for ts, rel, raw in LidarService(lidar).scans():
+        scans.append(filter_and_flatten(raw, cfg.z_min, cfg.z_max))
+        rels.append(rel)
+    imu = IMUService(imu_f)
+    eng = SlamEngine(cfg, imu=imu, verbose=False)
+    B = cfg.batch_scans
+    WARM = 6
+    for k in range(WARM):
+        eng.process_scan(scans[k], rels[k])
+    if lc:
+        t0 = time.perf_counter()
+        for k in range(WARM, len(scans)):
+            eng.process_scan(scans[k], rels[k])
+        n = len(scans) - WARM
+    else:
+        eng.process_scans_batched(scans[WARM:WARM + B], rels[WARM:WARM + B])
+        start = WARM + B
+        n = ((len(scans) - start) // B) * B
+        t0 = time.perf_counter()
+        for k in range(start, start + n, B):
+            eng.process_scans_batched(scans[k:k + B], rels[k:k + B])
+        eng.finish()
+    wall = time.perf_counter() - t0
+    return n / wall, eng
+
+
+def bench_scan2scan():
+    sps, eng = _run_pipeline(submap=False, lc=False)
+    return {"metric": "scan2scan_scans_per_sec", "value": round(sps, 2),
+            "unit": "scans/s"}
+
+
+def bench_full():
+    sps, eng = _run_pipeline(submap=True, lc=False)
+    return {"metric": "full_pipeline_scans_per_sec", "value": round(sps, 2),
+            "unit": "scans/s",
+            "submap_corrections": eng.stats.submap_corrections}
+
+
+def bench_lc():
+    sps, eng = _run_pipeline(submap=True, lc=True)
+    return {"metric": "full_config_lc_scans_per_sec", "value": round(sps, 2),
+            "unit": "scans/s", "loop_closures": eng.stats.loop_closures}
+
+
+def bench_dist():
+    env = dict(os.environ)
+    env.setdefault("BENCH_PG_NODES", "50000")
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "bench_distributed.py")],
+        capture_output=True, text=True, env=env, timeout=580,
+    )
+    line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else "{}"
+    return json.loads(line)
+
+
+BENCHES = {
+    "teapot": bench_teapot,
+    "scan2scan": bench_scan2scan,
+    "full": bench_full,
+    "lc": bench_lc,
+    "dist": bench_dist,
+}
+
+
+def main():
+    names = sys.argv[1:] or list(BENCHES)
+    for name in names:
+        log(f"--- {name} ---")
+        try:
+            result = BENCHES[name]()
+            result["config"] = name
+            print(json.dumps(result), flush=True)
+        except Exception as e:  # keep the suite going
+            print(json.dumps({"config": name, "error": f"{type(e).__name__}: {e}"}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

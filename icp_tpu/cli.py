@@ -20,6 +20,14 @@ def main(argv=None):
     parser.add_argument("--config", type=str, default="configs/default.yaml",
                         help="YAML configuration file")
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="capture a jax.profiler trace into DIR")
+    parser.add_argument("--map-png", type=str, default=None,
+                        help="also render the final map (+trajectory) to PNG")
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="save full SLAM state to this .npz at the end")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="restore SLAM state from a checkpoint first")
     parser.add_argument("--synth", action="store_true",
                         help="generate a synthetic sequence at data_file/imu "
                              "paths from the config before running")
@@ -42,9 +50,21 @@ def main(argv=None):
               f"({args.synth_scans} scans)")
 
     from icp_tpu.engine import run_slam
+
+    profiler = None
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(args.profile)
+        profiler = args.profile
+
     global_pose, trajectory, mapper, engine = run_slam(
-        cfg, verbose=not args.quiet
+        cfg, verbose=not args.quiet, resume=args.resume
     )
+
+    if profiler:
+        import jax
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {profiler}")
 
     print("global_pose:\n", global_pose)
     s = engine.stats
@@ -62,6 +82,14 @@ def main(argv=None):
         mapper.save_csv(cfg.out_csv)
         mapper.save_npy(cfg.out_npy)
         print(f"map saved: {cfg.out_csv}, {cfg.out_npy}")
+        if args.map_png:
+            traj_xy = np.array([[p[0, 2], p[1, 2]] for p in trajectory])
+            mapper.save_png(args.map_png, trajectory=traj_xy)
+            print(f"map render: {args.map_png}")
+
+    if args.checkpoint:
+        engine.save_checkpoint(args.checkpoint)
+        print(f"checkpoint saved: {args.checkpoint}")
 
 
 if __name__ == "__main__":

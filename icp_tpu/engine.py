@@ -139,6 +139,8 @@ class SlamEngine:
         )
         self._step_fn = None
         self._state: SlamState | None = None
+        self._pending: list = []          # in-flight batched results
+        self._last_enq_rel = None         # rel time of last enqueued scan
 
     # ── registration front-end (reference slam.py:53-98) ─────────────────
     def _run_icp_pair(self, source: np.ndarray, target: np.ndarray):
@@ -360,6 +362,25 @@ class SlamEngine:
         if self._state is not None and self.mapper is not None:
             self.mapper.log_odds = self._state.log_odds
 
+    def maybe_snapshot(self):
+        """Headless 'live map': write a PNG snapshot every
+        cfg.snapshot_every processed scans (replaces the reference's
+        interactive PyVista window, slam.py:416-452,622-639)."""
+        cfg = self.cfg
+        if not cfg.live_map or self.mapper is None:
+            return None
+        self._drain_pending()
+        if self.stats.scans == 0 or self.stats.scans % cfg.snapshot_every:
+            return None
+        import os
+        os.makedirs(cfg.snapshot_dir, exist_ok=True)
+        self.sync_map()
+        traj = np.array([[p[0, 2], p[1, 2]] for p in self.pose_trajectory])
+        path = os.path.join(cfg.snapshot_dir,
+                            f"map_{self.stats.scans:05d}.png")
+        self.mapper.save_png(path, trajectory=traj)
+        return path
+
     def _resync_state_after_lc(self, points_2d: np.ndarray):
         """Rebuild device state from corrected host history (after pose-graph
         optimization rewrote poses, reference slam.py:604-620)."""
@@ -441,7 +462,10 @@ class SlamEngine:
         msk = np.zeros((B, cap), bool)
         deltas = np.zeros(B, np.float32)
         yaws = np.zeros(B, np.float32)
-        prev_rel = self.prev_rel_time
+        # IMU deltas chain off the last ENQUEUED scan (results of the
+        # previous batch may still be in flight)
+        prev_rel = (self._last_enq_rel if self._last_enq_rel is not None
+                    else self.prev_rel_time)
         for i, (p, r) in enumerate(zip(scans, rel_times)):
             n = min(p.shape[0], cap)
             pts[i, :n] = p[:n]
@@ -458,25 +482,42 @@ class SlamEngine:
             self._state, jnp.asarray(pts), jnp.asarray(msk),
             jnp.asarray(deltas), jnp.asarray(yaws),
         )
-        outs = jax.device_get(outs)        # one sync per batch
+        # pipeline the small result fetch behind the NEXT batch's dispatch:
+        # start an async D2H now, bookkeep the previous batch's results
+        jax.tree_util.tree_map(lambda x: x.copy_to_host_async(), outs)
+        accepted = self._drain_pending()
+        # snapshot the lists: callers may mutate/clear them after we return
+        self._pending.append((list(scans), list(rel_times), outs))
+        self._last_enq_rel = rel_times[-1]
         self.stats.wall_registration += time.perf_counter() - t0
+        return accepted
 
+    def finish(self):
+        """Drain in-flight batched results (call after the last batch)."""
+        return self._drain_pending()
+
+    def _drain_pending(self) -> int:
+        """Bookkeep any batches whose results are in flight."""
         accepted = 0
-        for i in range(B):
-            ok = self._bookkeep_fused(
-                scans[i],
-                np.asarray(outs.pose[i]), float(outs.error[i]),
-                bool(outs.accepted[i]), bool(outs.sub_applied[i]),
-                float(outs.err_inc[i]), int(outs.iters[i]),
-            )
-            accepted += bool(ok)
-            self.prev_points = scans[i]
-            self.prev_rel_time = rel_times[i]
+        while self._pending:
+            scans, rel_times, outs = self._pending.pop(0)
+            outs = jax.device_get(outs)
+            for i in range(len(scans)):
+                ok = self._bookkeep_fused(
+                    scans[i],
+                    np.asarray(outs.pose[i]), float(outs.error[i]),
+                    bool(outs.accepted[i]), bool(outs.sub_applied[i]),
+                    float(outs.err_inc[i]), int(outs.iters[i]),
+                )
+                accepted += bool(ok)
+                self.prev_points = scans[i]
+                self.prev_rel_time = rel_times[i]
         return accepted
 
     def _process_scan_fused(self, points_2d, rel_time_us, imu_yaw,
                             imu_delta) -> bool:
         cfg = self.cfg
+        self._drain_pending()
         t0 = time.perf_counter()
         sp, sm = _pad_fixed(points_2d, self._cap)
         self._state, out = self._step_fn(
@@ -510,6 +551,7 @@ class SlamEngine:
     # ── checkpoint / resume (new vs reference, SURVEY.md §5) ─────────────
     def save_checkpoint(self, path: str):
         """Persist full SLAM state (poses, scans, graph, grid) to one npz."""
+        self._drain_pending()
         self.sync_map()
         n = len(self.scan_history)
         pts = [r.points for r in self.scan_history]
@@ -738,10 +780,13 @@ class SlamEngine:
         return True
 
 
-def run_slam(cfg: SlamConfig | dict, verbose: bool = True):
+def run_slam(cfg: SlamConfig | dict, verbose: bool = True,
+             resume: str | None = None):
     """File-driven entry mirroring the reference (slam.py:282-657).
 
-    Returns (global_pose, pose_trajectory, mapper, engine).
+    Returns (global_pose, pose_trajectory, mapper, engine). ``resume``
+    restores a checkpoint saved with SlamEngine.save_checkpoint before
+    streaming (new vs reference — SURVEY.md §5 checkpoint gap).
     """
     if isinstance(cfg, dict):
         cfg = SlamConfig.from_dict(cfg)
@@ -751,6 +796,8 @@ def run_slam(cfg: SlamConfig | dict, verbose: bool = True):
         imu = IMUService(cfg.imu_file)
 
     engine = SlamEngine(cfg, imu=imu, verbose=verbose)
+    if resume:
+        engine.load_checkpoint(resume)
     service = LidarService(cfg.data_file, sleep_s=cfg.sleep_s, loop=cfg.loop)
 
     # Batched fused stepping amortizes the host<->device round trip; loop
@@ -787,6 +834,7 @@ def run_slam(cfg: SlamConfig | dict, verbose: bool = True):
                 pend_rel.append(rel_us)
                 if len(pend_pts) >= batch_n:
                     flush()
+            engine.maybe_snapshot()
             if cfg.num_scans is not None and (
                 engine.stats.scans + len(pend_pts) >= cfg.num_scans
             ):
@@ -795,5 +843,6 @@ def run_slam(cfg: SlamConfig | dict, verbose: bool = True):
     except KeyboardInterrupt:
         print("Stopping SLAM loop...")
 
+    engine.finish()
     engine.sync_map()
     return engine.global_pose, engine.pose_trajectory, engine.mapper, engine

@@ -111,12 +111,18 @@ class OccupancyGrid2D:
     def save_npy(self, file_path):
         np.save(file_path, self.to_probability())
 
-    def save_png(self, file_path):
-        """Headless map render (new): grayscale PNG of the display map."""
-        try:
-            from PIL import Image  # pillow may not be installed; optional
-        except ImportError:
-            return False
-        img = (self.to_display() * 255).astype(np.uint8)
-        Image.fromarray(img[::-1]).save(file_path)  # y-up
+    def save_png(self, file_path, trajectory=None):
+        """Headless map render (new vs reference): grayscale PNG of the
+        display map, optionally with the trajectory overlaid."""
+        from icp_tpu.utils.raster import write_png, COLORS
+        img8 = (self.to_display() * 255).astype(np.uint8)[::-1]  # y-up
+        img = np.stack([img8] * 3, axis=-1)
+        if trajectory is not None and len(trajectory):
+            t = np.asarray(trajectory)
+            ix = np.clip(((t[:, 0] - self.min_x) / self.resolution).astype(int),
+                         0, self.nx - 1)
+            iy = np.clip(((t[:, 1] - self.min_y) / self.resolution).astype(int),
+                         0, self.ny - 1)
+            img[(self.ny - 1) - iy, ix] = COLORS["red"]
+        write_png(file_path, img)
         return True

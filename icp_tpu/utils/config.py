@@ -106,8 +106,11 @@ class SlamConfig:
     out_csv: str = "tmp/occupancy_grid.csv"
     out_npy: str = "tmp/occupancy_grid.npy"
 
-    # display (headless by default in the TPU build)
+    # display (headless in the TPU build: live_map=true writes periodic PNG
+    # snapshots instead of opening a window)
     live_map: bool = False
+    snapshot_every: int = 25
+    snapshot_dir: str = "tmp/live"
 
     # tpu-specific
     scan_capacity: int = 1024
@@ -187,6 +190,8 @@ class SlamConfig:
         c.out_npy = _get(cfg, "output", "npy", "tmp/occupancy_grid.npy")
 
         c.live_map = _get(cfg, "display", "live_map", False)
+        c.snapshot_every = _get(cfg, "display", "snapshot_every", 25)
+        c.snapshot_dir = _get(cfg, "display", "snapshot_dir", "tmp/live")
 
         t = cfg.get("tpu") or {}
         c.scan_capacity = t.get("scan_capacity", 1024)

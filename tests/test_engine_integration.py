@@ -99,3 +99,17 @@ def test_no_imu_rotation_search_mode(synth_seq):
     est = np.stack([p[:2, 2] for p in traj])
     want = _gt_relative(gt)[1 : len(est) + 1]
     assert ate_rmse(want, est) < 0.6
+
+
+def test_run_slam_pipelined_batches_drain(synth_seq, tmp_path):
+    """Regression: run_slam's flush() reuses its pending lists; results
+    enqueued asynchronously must not alias them (they are cleared)."""
+    lidar, imu, gt = synth_seq
+    d = _base_cfg(lidar, imu)
+    d["num_scans"] = 30
+    d["tpu"]["batch_scans"] = 8
+    cfg = SlamConfig.from_dict(d)
+    global_pose, traj, mapper, engine = run_slam(cfg, verbose=False)
+    assert engine.stats.scans >= 29
+    assert len(traj) >= 29
+    assert not np.allclose(global_pose[:2, 2], 0.0)

@@ -39,6 +39,23 @@ def load_cloud(path: str) -> np.ndarray:
     return vals.reshape(-1, 3)
 
 
+def visualize_trajectory(path, out, width=1200):
+    """Trajectory viewer (reference pcview visualize_trajectory,
+    meta-utils/pcview.py:94-122): reads a .npy of (N, 3, 3) SE(2) poses
+    (or (N, 2)/(N, 3) positions) and renders the path."""
+    arr = np.load(path)
+    if arr.ndim == 3:
+        xy = arr[:, :2, 2]
+    else:
+        xy = arr[:, :2]
+    c = Canvas.for_points(xy, width=width)
+    c.polyline(xy, "cyan")
+    c.scatter(xy[:1], "lime", 6)
+    c.scatter(xy[-1:], "red", 6)
+    c.save(out)
+    print(f"{path}: {len(xy)} poses -> {out}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description="Render point clouds to PNG")
     ap.add_argument("files", nargs="+", help="cloud CSV files")
@@ -47,7 +64,14 @@ def main(argv=None):
     ap.add_argument("--size", type=int, default=2)
     ap.add_argument("--width", type=int, default=1200)
     ap.add_argument("--background", default="black")
+    ap.add_argument("--trajectory", action="store_true",
+                    help="treat input as a .npy pose/position array")
     args = ap.parse_args(argv)
+
+    if args.trajectory:
+        for f in args.files:
+            visualize_trajectory(f, args.out, width=args.width)
+        return
 
     clouds = [load_cloud(f) for f in args.files]
     all_pts = np.concatenate([c[:, :2] for c in clouds if len(c)])
