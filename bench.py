@@ -77,14 +77,19 @@ def main():
     log(f"{len(scans)} scans, mean {np.mean([len(s) for s in scans]):.0f} pts")
 
     # ── ours (TPU) ───────────────────────────────────────────────────────
-    WARM = 6
+    # scan 0 initializes host state only (grid bounds, fused-state build);
+    # all remaining scans go through the SINGLE compiled batch program —
+    # the axon backend does not persist compiles, so bench wall time is
+    # dominated by how many distinct programs we trace
     B = cfg.batch_scans
     engine = SlamEngine(cfg, imu=imu, verbose=False)
-    for k in range(WARM):
-        engine.process_scan(scans[k], rels[k])
-    # warm the batched program too
-    engine.process_scans_batched(scans[WARM:WARM + B], rels[WARM:WARM + B])
-    start = WARM + B
+    engine.process_scan(scans[0], rels[0])
+    # warm: compile the batch program + reach steady-state submap
+    WARM_BATCHES = 3
+    for k in range(1, 1 + WARM_BATCHES * B, B):
+        engine.process_scans_batched(scans[k:k + B], rels[k:k + B])
+    engine.finish()
+    start = 1 + WARM_BATCHES * B
     n_timed = ((len(scans) - start) // B) * B   # full batches only
     t0 = time.perf_counter()
     for k in range(start, start + n_timed, B):
@@ -110,9 +115,13 @@ def main():
         "sub_rot_fine": 0.1, "sub_rot_voxel": 0.2, "imu_narrow": 3.0,
     }
     base = BaselineSlam(base_cfg, imu_yaws=imu_yaws)
-    base.step(scans[0])        # init (untimed)
+    # warm the baseline to steady state (full 40-scan submap) so both
+    # implementations are timed on the same per-scan workload
+    N_WARM_BASE = 44
+    for k in range(N_WARM_BASE):
+        base.step(scans[k])
     t0 = time.perf_counter()
-    for k in range(1, 1 + N_BASE):
+    for k in range(N_WARM_BASE, N_WARM_BASE + N_BASE):
         base.step(scans[k])
     base_wall = time.perf_counter() - t0
     baseline = N_BASE / base_wall

@@ -31,3 +31,31 @@ def shard_leading(mesh: Mesh, x, axis: str = "d"):
 
 def replicated(mesh: Mesh, x):
     return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None):
+    """Multi-host bring-up: jax.distributed.initialize with env fallbacks.
+
+    On a real pod slice each host calls this before building meshes; all
+    shard_map programs in this package then run unchanged with their
+    collectives riding ICI within the slice and DCN across hosts. On
+    single-process rigs (this dev container) it is a no-op.
+
+    Env fallbacks: JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES,
+    JAX_PROCESS_ID (standard jax.distributed variables are also honored by
+    jax itself).
+    """
+    import os
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator is None:
+        return False          # single-process: nothing to do
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=(num_processes
+                       or int(os.environ.get("JAX_NUM_PROCESSES", "1"))),
+        process_id=(process_id
+                    or int(os.environ.get("JAX_PROCESS_ID", "0"))),
+    )
+    return True

@@ -1,0 +1,45 @@
+import numpy as np
+import jax.numpy as jnp
+from scipy.spatial import KDTree
+
+from icp_tpu.ops.hashgrid import build_hash_grid, hash_nn_query
+from icp_tpu.utils.masking import BIG, pad_points
+
+
+def test_hash_nn_exact_within_radius():
+    rng = np.random.default_rng(0)
+    tgt = rng.uniform(-20, 20, (5000, 2)).astype(np.float32)
+    src = (tgt[rng.integers(0, 5000, 800)]
+           + rng.normal(scale=0.1, size=(800, 2)).astype(np.float32))
+    tp, tm = pad_points(tgt, 8192)
+    sp, sm = pad_points(src, 1024)
+    cell = 1.0
+    grid = build_hash_grid(jnp.asarray(tp), jnp.asarray(tm), cell,
+                           n_buckets=8192, bucket_cap=32)
+    assert int(grid.overflow) == 0
+    d, i = hash_nn_query(jnp.asarray(sp), jnp.asarray(sm), grid)
+    d = np.asarray(d)[:800]
+    d_ref, _ = KDTree(tgt).query(src)
+    # every true NN here is << cell, so the hash answer must be exact
+    assert (d_ref < cell).all()
+    np.testing.assert_allclose(d, d_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_hash_nn_out_of_radius_reports_big():
+    tgt = np.array([[0.0, 0.0]], np.float32)
+    src = np.array([[10.0, 10.0]], np.float32)
+    tp, tm = pad_points(tgt, 64)
+    sp, sm = pad_points(src, 64)
+    grid = build_hash_grid(jnp.asarray(tp), jnp.asarray(tm), 1.0,
+                           n_buckets=256, bucket_cap=8)
+    d, _ = hash_nn_query(jnp.asarray(sp), jnp.asarray(sm), grid)
+    assert float(d[0]) >= BIG / 2
+
+
+def test_hash_grid_overflow_reported():
+    # 100 identical points in one cell with bucket_cap 8 -> overflow
+    pts = np.zeros((100, 2), np.float32)
+    pp, pm = pad_points(pts, 128)
+    grid = build_hash_grid(jnp.asarray(pp), jnp.asarray(pm), 1.0,
+                           n_buckets=64, bucket_cap=8)
+    assert int(grid.overflow) == 100 - 8
