@@ -40,10 +40,14 @@ def main():
 
     os.makedirs("data", exist_ok=True)
     lidar_csv, imu_csv = "data/bench_lidar.csv", "data/bench_imu.csv"
-    if not (os.path.exists(lidar_csv) and os.path.exists(imu_csv)):
+    gt_npy = "data/bench_gt.npy"
+    if not (os.path.exists(lidar_csv) and os.path.exists(imu_csv)
+            and os.path.exists(gt_npy)):
         log("generating synthetic benchmark sequence ...")
-        generate_sequence(lidar_csv, imu_csv, n_scans=200, n_beams=720,
-                          noise=0.005, trajectory="loop", seed=42)
+        gt = generate_sequence(lidar_csv, imu_csv, n_scans=200, n_beams=720,
+                               noise=0.005, trajectory="loop", seed=42)
+        np.save(gt_npy, gt)
+    gt = np.load(gt_npy)
 
     cfg = SlamConfig.from_dict({
         "data_file": lidar_csv,
@@ -128,12 +132,23 @@ def main():
     log(f"numpy baseline: {baseline:.2f} scans/s "
         f"({base_wall:.1f}s for {N_BASE} scans)")
 
+    # ── accuracy: ATE vs ground truth (BASELINE metric: scans/sec + ATE) ──
+    x0, y0, th0 = gt[0]
+    c, s = np.cos(-th0), np.sin(-th0)
+    gt_rel = (gt[:, :2] - [x0, y0]) @ np.array([[c, -s], [s, c]]).T
+    est = np.stack([p[:2, 2] for p in engine.pose_trajectory])
+    n = len(est)
+    ate = float(np.sqrt(np.mean(
+        np.sum((est - gt_rel[1:n + 1]) ** 2, axis=1))))
+    log(f"ATE vs ground truth: {ate:.3f} m over {n} poses")
+
     result = {
         "metric": "full_pipeline_scans_per_sec",
         "value": round(ours, 3),
         "unit": "scans/s",
         "vs_baseline": round(ours / baseline, 2),
         "baseline_scans_per_sec": round(baseline, 3),
+        "ate_m": round(ate, 4),
         "n_scans": n_timed,
         "backend": __import__("jax").default_backend(),
     }

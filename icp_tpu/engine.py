@@ -329,6 +329,7 @@ class SlamEngine:
         m = self.mapper
         self._step_fn, self._batch_fn = make_slam_step(
             use_imu=self.imu is not None,
+            prealign=cfg.alignment_method,
             icp_method=cfg.icp_method,
             icp_voxel=float(cfg.icp_voxel),
             icp_max_iterations=int(cfg.icp_max_iterations),

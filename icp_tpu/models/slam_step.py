@@ -85,6 +85,7 @@ def init_state(first_scan, first_mask, log_odds, ring_k: int):
 def make_slam_step(
     *,
     use_imu: bool,
+    prealign: str = "rotation_search",
     icp_method: str,
     icp_voxel: float,
     icp_max_iterations: int,
@@ -124,6 +125,9 @@ def make_slam_step(
         # ── Step 1: scan-to-scan odometry (slam.py:465-483) ──────────────
         if use_imu:
             R0 = se2.rotmat(imu_delta)
+            t0 = jnp.zeros(2, jnp.float32)
+        elif prealign == "none":       # vanilla ICP (reference method "none")
+            R0 = jnp.eye(2, dtype=jnp.float32)
             t0 = jnp.zeros(2, jnp.float32)
         else:
             R0, t0, _ = rotation_search(
