@@ -106,7 +106,7 @@ def main():
 
     # ── NumPy/SciPy baseline on a subset ─────────────────────────────────
     from benchmarks.baseline_np import BaselineSlam
-    N_BASE = 12
+    N_BASE = 20
     imu_yaws = np.array([imu.yaw_at(r) for r in rels])
     base_cfg = {
         "method": "point_to_line", "normal_k": 12, "voxel_size": 0.04,
@@ -128,6 +128,9 @@ def main():
     for k in range(N_WARM_BASE, N_WARM_BASE + N_BASE):
         base.step(scans[k])
     base_wall = time.perf_counter() - t0
+    # run the baseline to completion (untimed) for its own trajectory ATE
+    for k in range(N_WARM_BASE + N_BASE, len(scans)):
+        base.step(scans[k])
     baseline = N_BASE / base_wall
     log(f"numpy baseline: {baseline:.2f} scans/s "
         f"({base_wall:.1f}s for {N_BASE} scans)")
@@ -140,7 +143,12 @@ def main():
     n = len(est)
     ate = float(np.sqrt(np.mean(
         np.sum((est - gt_rel[1:n + 1]) ** 2, axis=1))))
-    log(f"ATE vs ground truth: {ate:.3f} m over {n} poses")
+    base_est = np.stack([p[:2, 2] for p in base.trajectory])
+    nb = len(base_est)
+    base_ate = float(np.sqrt(np.mean(
+        np.sum((base_est - gt_rel[1:nb + 1]) ** 2, axis=1))))
+    log(f"ATE vs ground truth: ours {ate:.3f} m ({n} poses), "
+        f"numpy baseline {base_ate:.3f} m ({nb} poses)")
 
     result = {
         "metric": "full_pipeline_scans_per_sec",
@@ -149,6 +157,7 @@ def main():
         "vs_baseline": round(ours / baseline, 2),
         "baseline_scans_per_sec": round(baseline, 3),
         "ate_m": round(ate, 4),
+        "baseline_ate_m": round(base_ate, 4),
         "n_scans": n_timed,
         "backend": __import__("jax").default_backend(),
     }

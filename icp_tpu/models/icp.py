@@ -185,3 +185,86 @@ def icp(
 def identity_init(dim: int = 2):
     """Identity (R, t) pair for the 'no initial guess' case."""
     return jnp.eye(dim, dtype=jnp.float32), jnp.zeros((dim,), jnp.float32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_iterations", "n_buckets", "bucket_cap"),
+)
+def icp_large(
+    source,
+    src_mask,
+    target,
+    tgt_mask,
+    R_init,
+    t_init,
+    *,
+    max_corr_dist,
+    max_iterations: int = 50,
+    error_threshold=1e-7,
+    n_buckets: int = 1 << 16,
+    bucket_cap: int = 16,
+):
+    """Gated point-to-point ICP for large clouds (10^5+ points).
+
+    The brute-force (N, M) distance matrix is infeasible at this scale, so
+    correspondences come from a grid-hash index (icp_tpu.ops.hashgrid)
+    built ONCE on the target with cell size = max_corr_dist: exact for
+    every correspondence the gate would keep (reference icp.py:183-189
+    discards pairs beyond max_corr_dist anyway). Per-iteration cost is
+    O(N * 9 * bucket_cap) instead of O(N * M).
+
+    Point-to-point only (the scaled regime is submap/keyframe matching,
+    which the reference also runs p2p, config.yaml:52-56).
+    """
+    from icp_tpu.ops.hashgrid import build_hash_grid, hash_nn_query
+
+    grid = build_hash_grid(target, tgt_mask, max_corr_dist,
+                           n_buckets=n_buckets, bucket_cap=bucket_cap)
+    n_valid = jnp.sum(src_mask.astype(jnp.float32))
+    min_inliers = jnp.maximum(3.0, jnp.floor(n_valid / 10.0))
+    max_corr = jnp.asarray(max_corr_dist, jnp.float32)
+    error_threshold = jnp.asarray(error_threshold, jnp.float32)
+
+    def cond(carry):
+        it, _, _, _, _, _, stop, _ = carry
+        return (it < max_iterations) & jnp.logical_not(stop)
+
+    def body(carry):
+        it, transformed, r_total, t_total, prev_error, _, _, _ = carry
+        dists, idx = hash_nn_query(transformed, src_mask, grid)
+        nearest = target[idx]
+        inlier = (dists < max_corr) & src_mask
+        w = inlier.astype(jnp.float32)
+        n_in = jnp.sum(w)
+        abort = n_in < min_inliers
+
+        r, t = p2p_solve_2d(transformed, nearest, w)
+        new_r_total = r @ r_total
+        new_t_total = t_total @ r.T + t
+        new_transformed = transformed @ r.T + t
+
+        # error over gated correspondences (ungated ones have no valid NN
+        # within the hash radius)
+        sq = jnp.sum((nearest - new_transformed) ** 2, axis=-1)
+        error = masked_mean(sq, inlier)
+        delta = jnp.abs(prev_error - error)
+        eff = jnp.maximum(error_threshold, 32.0 * _F32_EPS * error)
+        converged = delta < eff
+
+        keep = jnp.logical_not(abort)
+        transformed = jnp.where(keep, new_transformed, transformed)
+        r_total = jnp.where(keep, new_r_total, r_total)
+        t_total = jnp.where(keep, new_t_total, t_total)
+        error = jnp.where(keep, error, prev_error)
+        return (it + 1, transformed, r_total, t_total, error, error,
+                abort | converged, n_in)
+
+    transformed0 = source @ R_init.T + t_init
+    inf = jnp.float32(jnp.inf)
+    carry0 = (jnp.int32(0), transformed0, R_init, t_init, inf, inf,
+              jnp.bool_(False), jnp.float32(0))
+    it, _, r_total, t_total, _, error, _, n_in = lax.while_loop(
+        cond, body, carry0
+    )
+    return ICPResult(r_total, t_total, error, it, n_in.astype(jnp.int32))

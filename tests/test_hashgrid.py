@@ -43,3 +43,40 @@ def test_hash_grid_overflow_reported():
     grid = build_hash_grid(jnp.asarray(pp), jnp.asarray(pm), 1.0,
                            n_buckets=64, bucket_cap=8)
     assert int(grid.overflow) == 100 - 8
+
+
+def test_icp_large_recovers_transform():
+    """Gated hash-grid ICP on a 20k-point cloud recovers a small transform."""
+    import jax.numpy as jnp
+    from icp_tpu.models.icp import icp_large
+
+    rng = np.random.default_rng(1)
+    # structured cloud: several wall segments at 20k points
+    t = rng.uniform(0, 1, 20000)
+    seg = rng.integers(0, 4, 20000)
+    base = np.stack([
+        np.where(seg == 0, t * 30 - 15, np.where(seg == 1, t * 30 - 15,
+                 np.where(seg == 2, -15.0, 15.0))),
+        np.where(seg == 0, -10.0, np.where(seg == 1, 10.0,
+                 np.where(seg == 2, t * 20 - 10, t * 20 - 10))),
+    ], axis=1).astype(np.float32)
+    base += rng.normal(scale=0.01, size=base.shape).astype(np.float32)
+
+    th = 0.03
+    c, s = np.cos(th), np.sin(th)
+    R_true = np.array([[c, -s], [s, c]], np.float32)
+    t_true = np.array([0.15, -0.1], np.float32)
+    src = (base - t_true) @ R_true
+
+    tp, tm = pad_points(base, 32768)
+    sp, sm = pad_points(src, 32768)
+    res = icp_large(
+        jnp.asarray(sp), jnp.asarray(sm), jnp.asarray(tp), jnp.asarray(tm),
+        jnp.eye(2, dtype=jnp.float32), jnp.zeros(2, jnp.float32),
+        max_corr_dist=1.0, max_iterations=40, error_threshold=1e-9,
+        n_buckets=1 << 15, bucket_cap=32,
+    )
+    got_th = float(np.arctan2(np.asarray(res.R)[1, 0], np.asarray(res.R)[0, 0]))
+    assert abs(got_th - th) < 5e-3
+    np.testing.assert_allclose(np.asarray(res.t), t_true, atol=0.03)
+    assert float(res.error) < 1e-3
