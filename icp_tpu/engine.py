@@ -806,6 +806,7 @@ def run_slam(cfg: SlamConfig | dict, verbose: bool = True,
     batch_n = 1 if cfg.lc_enabled else max(int(cfg.batch_scans), 1)
 
     scan_counter = 0
+    submitted = 0          # scans handed to the engine (results may lag)
     pend_pts: list[np.ndarray] = []
     pend_rel: list = []
 
@@ -828,6 +829,7 @@ def run_slam(cfg: SlamConfig | dict, verbose: bool = True,
             points = filter_and_flatten(raw_points, cfg.z_min, cfg.z_max)
             if points.shape[0] < 10:
                 continue
+            init_scan = engine._state is None and engine.prev_points is None
             if engine._state is None or batch_n == 1:
                 engine.process_scan(points, rel_us)
             else:
@@ -835,10 +837,10 @@ def run_slam(cfg: SlamConfig | dict, verbose: bool = True,
                 pend_rel.append(rel_us)
                 if len(pend_pts) >= batch_n:
                     flush()
+            if not init_scan:
+                submitted += 1   # init scan doesn't count (slam.py:388-453)
             engine.maybe_snapshot()
-            if cfg.num_scans is not None and (
-                engine.stats.scans + len(pend_pts) >= cfg.num_scans
-            ):
+            if cfg.num_scans is not None and submitted >= cfg.num_scans:
                 break
         flush()
     except KeyboardInterrupt:
