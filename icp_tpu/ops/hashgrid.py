@@ -90,10 +90,15 @@ def hash_nn_query(query, query_mask, grid: HashGrid):
 
     valid = cand < m
     safe = jnp.where(valid, cand, 0)
-    cpts = grid.points[safe]                                  # (N, 9cap, 2)
+    # gather coordinates as separate x/y planes: a trailing dim of 2 would
+    # be lane-padded to 128 by the TPU tiled layout (64x memory blowup at
+    # 1e5-point scale)
+    cx = grid.points[:, 0][safe]                              # (N, 9cap)
+    cy = grid.points[:, 1][safe]
     cmask = valid & grid.mask[safe]
-    d2 = jnp.sum((query[:, None, :] - cpts) ** 2, axis=-1)
-    d2 = jnp.where(cmask, d2, BIG)
+    ddx = query[:, 0:1] - cx
+    ddy = query[:, 1:2] - cy
+    d2 = jnp.where(cmask, ddx * ddx + ddy * ddy, BIG)
     j = jnp.argmin(d2, axis=1)
     best = jnp.take_along_axis(d2, j[:, None], 1)[:, 0]
     idx = jnp.take_along_axis(safe, j[:, None], 1)[:, 0]
