@@ -26,6 +26,9 @@ def main(argv=None):
                         help="also render the final map (+trajectory) to PNG")
     parser.add_argument("--checkpoint", type=str, default=None,
                         help="save full SLAM state to this .npz at the end")
+    parser.add_argument("--save-traj", type=str, default=None,
+                        help="save the pose trajectory (N, 3, 3) to .npy "
+                             "(the reference never persists it)")
     parser.add_argument("--resume", type=str, default=None,
                         help="restore SLAM state from a checkpoint first")
     parser.add_argument("--synth", action="store_true",
@@ -86,6 +89,10 @@ def main(argv=None):
             traj_xy = np.array([[p[0, 2], p[1, 2]] for p in trajectory])
             mapper.save_png(args.map_png, trajectory=traj_xy)
             print(f"map render: {args.map_png}")
+
+    if args.save_traj and trajectory:
+        np.save(args.save_traj, np.stack(trajectory))
+        print(f"trajectory saved: {args.save_traj} ({len(trajectory)} poses)")
 
     if args.checkpoint:
         engine.save_checkpoint(args.checkpoint)

@@ -38,7 +38,7 @@ from icp_tpu.ops.rigid import p2p_solve_2d, p2p_solve_3d, p2l_solve_2d
 from icp_tpu.ops.voxel import voxel_downsample
 from icp_tpu.utils.masking import masked_mean
 
-_F32_EPS = jnp.float32(1.1920929e-07)
+_F32_EPS = 1.1920929e-07  # plain float: no eager backend init at import
 
 
 class ICPResult(NamedTuple):

@@ -23,8 +23,8 @@ from jax import lax
 
 from icp_tpu.utils.masking import BIG
 
-_P1 = jnp.int32(73856093)     # classic spatial-hash primes
-_P2 = jnp.int32(19349663)
+_P1 = 73856093     # classic spatial-hash primes (plain ints: no eager backend init)
+_P2 = 19349663
 
 
 class HashGrid(NamedTuple):

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-_INT_SENTINEL = jnp.int32(2**30)  # sorts after any real voxel coordinate
+_INT_SENTINEL = 2**30  # sorts after any real voxel coordinate (plain int)
 
 
 @partial(jax.jit, static_argnames=())

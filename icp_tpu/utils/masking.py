@@ -14,7 +14,10 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-BIG = jnp.float32(1e30)  # sentinel "infinite" distance for masked slots
+# sentinel "infinite" distance for masked slots; a plain float (not a jnp
+# scalar) so importing this module never initializes an XLA backend —
+# jax.distributed.initialize must run before any backend touch
+BIG = 1e30
 
 
 def next_pow2(n: int) -> int:
