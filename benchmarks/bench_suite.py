@@ -156,6 +156,88 @@ def bench_lc():
             "unit": "scans/s", "loop_closures": eng.stats.loop_closures}
 
 
+def _large_world(n_points=100_000, seed=11):
+    """100k-point structured world: random wall segments in a 200 m arena."""
+    rng = np.random.default_rng(seed)
+    n_walls = 200
+    starts = rng.uniform(-100, 100, (n_walls, 2))
+    horiz = rng.integers(0, 2, n_walls).astype(bool)
+    lengths = rng.uniform(10, 30, n_walls)
+    per = n_points // n_walls
+    pts = []
+    for s, h, L in zip(starts, horiz, lengths):
+        t = rng.uniform(0, L, per)
+        seg = np.stack([s[0] + np.where(h, t, 0.0),
+                        s[1] + np.where(h, 0.0, t)], axis=1)
+        pts.append(seg)
+    cloud = np.concatenate(pts).astype(np.float32)
+    cloud += rng.normal(scale=0.02, size=cloud.shape).astype(np.float32)
+    return cloud
+
+
+def bench_icp_large():
+    """Config #5 point-scale axis: gated ICP at 100k points (dense grid)."""
+    import jax
+    import jax.numpy as jnp
+    from icp_tpu.models.icp import icp_large
+    from icp_tpu.utils.masking import pad_points
+
+    base = _large_world()
+    th = 0.04
+    c, s = np.cos(th), np.sin(th)
+    R_true = np.array([[c, -s], [s, c]], np.float32)
+    t_true = np.array([0.4, -0.25], np.float32)
+    src = (base - t_true) @ R_true
+    cap_pts = 131072
+    tp, tm = pad_points(base, cap_pts)
+    sp, sm = pad_points(src, cap_pts)
+    # cell_size = 1.5 * max_corr (drift-gated re-binning margin); the grid
+    # must cover the 230 m extent at that cell: 160 cells
+    kw = dict(max_corr_dist=1.0, max_iterations=30, error_threshold=0.0,
+              grid_shape=(160, 160), cap=64, qcap=64, qcells=4096)
+    args = (jnp.asarray(sp), jnp.asarray(sm), jnp.asarray(tp),
+            jnp.asarray(tm), jnp.eye(2, dtype=jnp.float32),
+            jnp.zeros(2, jnp.float32))
+    res = icp_large(*args, **kw)            # compile + correctness check
+    np.asarray(res.error)                   # true host sync (the remote
+    #                 backend's block_until_ready does not actually block)
+    got_th = float(np.arctan2(np.asarray(res.R)[1, 0],
+                              np.asarray(res.R)[0, 0]))
+    assert abs(got_th - th) < 2e-3, got_th
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        res = icp_large(*args, **kw)
+        np.asarray(res.error)
+    dt = (time.perf_counter() - t0) / reps
+    iters = int(res.iters)
+
+    # NumPy/SciPy baseline: same gated p2p ICP via cKDTree, same iters
+    from scipy.spatial import cKDTree
+    tree = cKDTree(base)
+    T_src = src.copy()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        d, i = tree.query(T_src, distance_upper_bound=1.0)
+        ok = np.isfinite(d)
+        a, b = T_src[ok], base[i[ok]]
+        ma, mb = a.mean(0), b.mean(0)
+        W = (b - mb).T @ (a - ma)
+        U, _, Vt = np.linalg.svd(W)
+        D = np.diag([1.0, np.linalg.det(U @ Vt)])
+        Rr = U @ D @ Vt
+        tt = mb - ma @ Rr.T
+        T_src = T_src @ Rr.T + tt
+    base_dt = time.perf_counter() - t0
+
+    return {"metric": "icp_large_100k_ms_per_alignment",
+            "value": round(dt * 1e3, 1), "unit": "ms",
+            "iters": iters,
+            "iters_per_sec": round(iters / dt, 1),
+            "baseline_scipy_ms": round(base_dt * 1e3, 1),
+            "vs_baseline": round(base_dt / dt, 2)}
+
+
 def bench_dist():
     env = dict(os.environ)
     env.setdefault("BENCH_PG_NODES", "50000")
@@ -174,6 +256,7 @@ BENCHES = {
     "scan2scan": bench_scan2scan,
     "full": bench_full,
     "lc": bench_lc,
+    "icp_large": bench_icp_large,
     "dist": bench_dist,
 }
 

@@ -189,7 +189,8 @@ def identity_init(dim: int = 2):
 
 @partial(
     jax.jit,
-    static_argnames=("max_iterations", "n_buckets", "bucket_cap"),
+    static_argnames=("max_iterations", "grid_shape", "cap", "qcap",
+                     "qcells"),
 )
 def icp_large(
     source,
@@ -202,69 +203,109 @@ def icp_large(
     max_corr_dist,
     max_iterations: int = 50,
     error_threshold=1e-7,
-    n_buckets: int = 1 << 16,
-    bucket_cap: int = 16,
+    grid_shape: tuple = (256, 256),
+    cap: int = 16,
+    qcap: int = 16,
+    qcells: int = 4096,
+    cell_size=None,
 ):
     """Gated point-to-point ICP for large clouds (10^5+ points).
 
     The brute-force (N, M) distance matrix is infeasible at this scale, so
-    correspondences come from a grid-hash index (icp_tpu.ops.hashgrid)
-    built ONCE on the target with cell size = max_corr_dist: exact for
+    correspondences come from a dense cell grid (icp_tpu.ops.densegrid)
+    built ONCE on the target with cell size >= max_corr_dist: exact for
     every correspondence the gate would keep (reference icp.py:183-189
-    discards pairs beyond max_corr_dist anyway). Per-iteration cost is
-    O(N * 9 * bucket_cap) instead of O(N * M).
+    discards pairs beyond max_corr_dist anyway).
 
-    Point-to-point only (the scaled regime is submap/keyframe matching,
-    which the reference also runs p2p, config.yaml:52-56).
+    TPU-shaped iteration: the source cloud lives in COMPACT cell-binned
+    planes (occupied cells x qcap); each iteration runs the zero-gather
+    neighborhood compare (ops.densegrid.compact_nn), solves the rigid
+    step directly on the compact planes, and transforms them in place.
+    The O(N log N) re-binning sort only happens when accumulated movement
+    exceeds the exactness margin (cell_size - max_corr_dist) — cell_size
+    defaults to 1.5x max_corr_dist so early large steps re-bin and late
+    small steps don't.
+
+    ``grid_shape`` (static) must cover the target extent at cell_size;
+    out-of-extent targets are dropped (grid.overflow). Point-to-point
+    only (the scaled regime is submap/keyframe matching, which the
+    reference also runs p2p, config.yaml:52-56).
     """
-    from icp_tpu.ops.hashgrid import build_hash_grid, hash_nn_query
+    from icp_tpu.ops.densegrid import (
+        CompactQueries, bin_queries, build_dense_grid, compact_nn,
+        grid_origin)
 
-    grid = build_hash_grid(target, tgt_mask, max_corr_dist,
-                           n_buckets=n_buckets, bucket_cap=bucket_cap)
+    max_corr = jnp.asarray(max_corr_dist, jnp.float32)
+    cell = (1.5 * max_corr if cell_size is None
+            else jnp.asarray(cell_size, jnp.float32))
+    margin = cell - max_corr
+    origin = grid_origin(target, tgt_mask, cell)
+    grid = build_dense_grid(target, tgt_mask, cell, origin,
+                            grid_shape=grid_shape, cap=cap)
     n_valid = jnp.sum(src_mask.astype(jnp.float32))
     min_inliers = jnp.maximum(3.0, jnp.floor(n_valid / 10.0))
-    max_corr = jnp.asarray(max_corr_dist, jnp.float32)
     error_threshold = jnp.asarray(error_threshold, jnp.float32)
+    max_corr_sq = max_corr * max_corr
+
+    def rebin(r_total, t_total):
+        pts = source @ r_total.T + t_total
+        return bin_queries(pts, src_mask, origin, cell,
+                           grid_shape=grid_shape, qcells=qcells, qcap=qcap)
 
     def cond(carry):
-        it, _, _, _, _, _, stop, _ = carry
-        return (it < max_iterations) & jnp.logical_not(stop)
+        return (carry[0] < max_iterations) & jnp.logical_not(carry[6])
 
     def body(carry):
-        it, transformed, r_total, t_total, prev_error, _, _, _ = carry
-        dists, idx = hash_nn_query(transformed, src_mask, grid)
-        nearest = target[idx]
-        inlier = (dists < max_corr) & src_mask
+        it, cq, r_total, t_total, prev_error, _, _, _, drift = carry
+
+        d2, bi, bx, by = compact_nn(cq, grid)
+        inlier = (d2 < max_corr_sq) & cq.mask
         w = inlier.astype(jnp.float32)
         n_in = jnp.sum(w)
         abort = n_in < min_inliers
 
-        r, t = p2p_solve_2d(transformed, nearest, w)
+        a = jnp.stack([cq.x.ravel(), cq.y.ravel()], axis=1)
+        b = jnp.stack([bx.ravel(), by.ravel()], axis=1)
+        r, t = p2p_solve_2d(a, b, w.ravel())
         new_r_total = r @ r_total
         new_t_total = t_total @ r.T + t
-        new_transformed = transformed @ r.T + t
 
-        # error over gated correspondences (ungated ones have no valid NN
-        # within the hash radius)
-        sq = jnp.sum((nearest - new_transformed) ** 2, axis=-1)
+        # transform the compact planes in place (rigid, elementwise)
+        nx = r[0, 0] * cq.x + r[0, 1] * cq.y + t[0]
+        ny = r[1, 0] * cq.x + r[1, 1] * cq.y + t[1]
+
+        sq = (bx - nx) ** 2 + (by - ny) ** 2
         error = masked_mean(sq, inlier)
         delta = jnp.abs(prev_error - error)
         eff = jnp.maximum(error_threshold, 32.0 * _F32_EPS * error)
         converged = delta < eff
 
         keep = jnp.logical_not(abort)
-        transformed = jnp.where(keep, new_transformed, transformed)
+        kf = keep.astype(jnp.float32)
+        nx = kf * nx + (1.0 - kf) * cq.x
+        ny = kf * ny + (1.0 - kf) * cq.y
         r_total = jnp.where(keep, new_r_total, r_total)
         t_total = jnp.where(keep, new_t_total, t_total)
         error = jnp.where(keep, error, prev_error)
-        return (it + 1, transformed, r_total, t_total, error, error,
-                abort | converged, n_in)
 
-    transformed0 = source @ R_init.T + t_init
+        # conservative drift bound: the largest per-point displacement
+        move_sq = jnp.max(jnp.where(cq.mask,
+                                    (nx - cq.x) ** 2 + (ny - cq.y) ** 2,
+                                    0.0))
+        drift = drift + jnp.sqrt(move_sq)
+        cq_moved = cq._replace(x=nx, y=ny)
+        cq_next, drift = lax.cond(
+            drift > margin,
+            lambda: (rebin(r_total, t_total), jnp.float32(0.0)),
+            lambda: (cq_moved, drift),
+        )
+        return (it + 1, cq_next, r_total, t_total, error, error,
+                abort | converged, n_in, drift)
+
+    cq0 = rebin(R_init, t_init)
     inf = jnp.float32(jnp.inf)
-    carry0 = (jnp.int32(0), transformed0, R_init, t_init, inf, inf,
-              jnp.bool_(False), jnp.float32(0))
-    it, _, r_total, t_total, _, error, _, n_in = lax.while_loop(
-        cond, body, carry0
-    )
+    carry0 = (jnp.int32(0), cq0, R_init, t_init, inf, inf,
+              jnp.bool_(False), jnp.float32(0), jnp.float32(0))
+    out = lax.while_loop(cond, body, carry0)
+    it, _, r_total, t_total, _, error, _, n_in, _ = out
     return ICPResult(r_total, t_total, error, it, n_in.astype(jnp.int32))
