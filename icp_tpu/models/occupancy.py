@@ -34,6 +34,22 @@ def _update(log_odds, origin_xy, hits, mask, min_x, min_y, inv_res,
     )
 
 
+@partial(jax.jit, static_argnames=("max_steps",))
+def _replay(log_odds, origins, hits, masks, min_x, min_y, inv_res,
+            l_hit, l_miss, lo_min, lo_max, *, max_steps: int):
+    """Replay K scans over a zeroed grid in ONE compiled program: a
+    lax.scan over scans, each applying the same update (so the per-scan
+    clamp order of the reference's rebuild loop, slam.py:271-277 →
+    mapping.py:103-141, is preserved exactly)."""
+    def body(lo, per):
+        o, h, m = per
+        return _update(lo, o, h, m, min_x, min_y, inv_res,
+                       l_hit, l_miss, lo_min, lo_max,
+                       max_steps=max_steps), None
+    lo, _ = jax.lax.scan(body, log_odds, (origins, hits, masks))
+    return lo
+
+
 class OccupancyGrid2D:
     """2D probabilistic occupancy grid with log-odds ray tracing.
 
@@ -82,6 +98,29 @@ class OccupancyGrid2D:
             jnp.asarray(origin_xy, jnp.float32),
             hit_points,
             jnp.asarray(mask),
+            jnp.float32(self.min_x), jnp.float32(self.min_y),
+            jnp.float32(1.0 / self.resolution),
+            jnp.float32(self.l_hit), jnp.float32(self.l_miss),
+            jnp.float32(self.log_odds_min), jnp.float32(self.log_odds_max),
+            max_steps=self.max_ray_cells,
+        )
+
+    def replay(self, origins, hits, masks):
+        """Reset + replay K scans in ONE device dispatch.
+
+        origins: (K, 2) world coords; hits: (K, N, 2) world coords (fixed
+        per-scan capacity N); masks: (K, N) bool — all-False rows are
+        no-op padding scans, so callers can bucket K to bound recompiles.
+
+        This is the map-rebuild path after a loop closure: the reference
+        replays scan-by-scan from Python (slam.py:271-277); here the whole
+        replay is one lax.scan on device.
+        """
+        self.log_odds = _replay(
+            jnp.zeros((self.ny, self.nx), jnp.float32),
+            jnp.asarray(origins, jnp.float32),
+            jnp.asarray(hits, jnp.float32),
+            jnp.asarray(masks),
             jnp.float32(self.min_x), jnp.float32(self.min_y),
             jnp.float32(1.0 / self.resolution),
             jnp.float32(self.l_hit), jnp.float32(self.l_miss),

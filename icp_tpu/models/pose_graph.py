@@ -187,6 +187,16 @@ class PoseGraph2D:
         self._edges_j: list[int] = []
         self._edges_z: list[np.ndarray] = []
         self._edges_om: list[np.ndarray] = []
+        self._min_nc = 2
+        self._min_ec = 2
+
+    def reserve(self, n_nodes: int, n_edges: int | None = None):
+        """Pin the packed capacity buckets so every optimize() of a run
+        compiles one program (callers that know the run length use this;
+        capacities still grow past the reservation if exceeded)."""
+        self._min_nc = next_pow2(max(int(n_nodes), 2))
+        self._min_ec = next_pow2(max(int(n_edges if n_edges is not None
+                                         else 2 * n_nodes), 2))
 
     # ── mutation ─────────────────────────────────────────────────────────
     def add_node(self, pose_vec) -> int:
@@ -218,8 +228,8 @@ class PoseGraph2D:
     def _packed(self):
         n = len(self._nodes)
         e = len(self._edges_i)
-        nc = next_pow2(max(n, 2))
-        ec = next_pow2(max(e, 2))
+        nc = max(next_pow2(max(n, 2)), self._min_nc)
+        ec = max(next_pow2(max(e, 2)), self._min_ec)
         nodes = np.zeros((nc, 3), np.float32)
         nodes[:n] = np.stack(self._nodes) if n else 0
         node_mask = np.arange(nc) < n

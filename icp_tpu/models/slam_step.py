@@ -147,7 +147,14 @@ def make_slam_step(
             error_threshold=icp_error_threshold,
         )
         err_inc = res.error
-        accepted = err_inc <= error_reject_threshold   # slam.py:485
+        # degenerate scan (<10 valid points): skip entirely, carrying ALL
+        # state including prev (slam.py:384-385 `continue`s before any
+        # update). Also makes all-False-mask padding scans exact no-ops,
+        # which the batched LC path relies on.
+        degenerate = jnp.sum(cur_mask) < 10
+        accepted = jnp.logical_not(degenerate) & (
+            err_inc <= error_reject_threshold          # slam.py:485
+        )
 
         new_pose = se2.apply_incremental_pose(state.global_pose, res.R, res.t)
         new_pose = jnp.where(accepted, new_pose, state.global_pose)
@@ -226,8 +233,8 @@ def make_slam_step(
         ring_idx = state.ring_idx + accepted.astype(jnp.int32)
 
         new_state = SlamState(
-            prev_pts=cur_pts,
-            prev_mask=cur_mask,
+            prev_pts=jnp.where(degenerate, state.prev_pts, cur_pts),
+            prev_mask=jnp.where(degenerate, state.prev_mask, cur_mask),
             global_pose=new_pose,
             ring_pts=ring_pts,
             ring_mask=ring_mask,

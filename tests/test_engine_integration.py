@@ -113,3 +113,58 @@ def test_run_slam_pipelined_batches_drain(synth_seq, tmp_path):
     assert engine.stats.scans >= 29
     assert len(traj) >= 29
     assert not np.allclose(global_pose[:2, 2], 0.0)
+
+
+def _lc_cfg(lidar, imu):
+    d = _base_cfg(lidar, imu)
+    d["submap"] = {"enabled": True, "size": 10, "voxel_size": 0.05,
+                   "max_corr_dist": 1.0, "rotation_range": 10.0,
+                   "rotation_step": 1.0, "rotation_fine_step": 0.25,
+                   "rotation_voxel_size": 0.2}
+    d["loop_closure"] = {"enabled": True, "min_interval": 40,
+                         "distance_threshold": 3.0,
+                         "min_cumulative_travel": 4.0, "max_candidates": 3,
+                         "error_threshold": 0.1,
+                         "optimization_iterations": 20,
+                         "information_scale": 5.0}
+    d["tpu"]["batch_scans"] = 8
+    return d
+
+
+def test_lc_batched_stepping_matches_per_scan(synth_seq):
+    """Loop-closure mode: chunked fused batching (pre-screened so no LC can
+    trigger inside a chunk) must track the per-scan-arbitration run."""
+    from icp_tpu.engine import SlamEngine, filter_and_flatten
+    from icp_tpu.services.lidar import LidarService
+    from icp_tpu.services.imu import IMUService
+
+    lidar, imu, gt = synth_seq
+    cfg = SlamConfig.from_dict(_lc_cfg(lidar, imu))
+    scans, rels = [], []
+    for ts, rel, raw in LidarService(lidar).scans():
+        scans.append(filter_and_flatten(raw, cfg.z_min, cfg.z_max))
+        rels.append(rel)
+
+    single = SlamEngine(cfg, imu=IMUService(imu), verbose=False)
+    for p, r in zip(scans, rels):
+        single.process_scan(p, r)
+
+    batched = SlamEngine(cfg, imu=IMUService(imu), verbose=False)
+    batched.process_scan(scans[0], rels[0])          # init grid + state
+    B = cfg.batch_scans
+    for k in range(1, len(scans), B):
+        batched.process_scans_batched(scans[k:k + B], rels[k:k + B])
+    batched.finish()
+
+    assert single.stats.loop_closures >= 1
+    assert batched.stats.loop_closures >= 1
+    est_s = np.stack([p[:2, 2] for p in single.pose_trajectory])
+    est_b = np.stack([p[:2, 2] for p in batched.pose_trajectory])
+    want = _gt_relative(gt)
+    e_s = ate_rmse(want[1 : len(est_s) + 1], est_s)
+    e_b = ate_rmse(want[1 : len(est_b) + 1], est_b)
+    assert e_b < max(0.5, 1.5 * e_s), (e_b, e_s)
+    # batched map rebuild must have produced a populated grid
+    batched.sync_map()
+    p = batched.mapper.to_probability()
+    assert (p > 0.6).sum() > 100

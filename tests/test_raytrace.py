@@ -92,3 +92,30 @@ def test_occupancy_grid_end_to_end():
     # reset returns to unexplored
     g.reset()
     assert np.all(np.asarray(g.log_odds) == 0)
+
+
+def test_replay_matches_sequential_updates():
+    """One-dispatch replay == scan-by-scan update_scan (incl. padding
+    scans as no-ops and per-scan clamp ordering)."""
+    rng = np.random.default_rng(3)
+    K, N = 5, 40
+    origins = rng.uniform(-3, 3, (K, 2)).astype(np.float32)
+    hits = rng.uniform(-6, 6, (K, N, 2)).astype(np.float32)
+    masks = rng.random((K, N)) < 0.8
+
+    seq = OccupancyGrid2D(-5, 5, -5, 5, resolution=0.25, max_ray_cells=64)
+    for k in range(K):
+        seq.update_scan(origins[k], hits[k], masks[k])
+
+    rep = OccupancyGrid2D(-5, 5, -5, 5, resolution=0.25, max_ray_cells=64)
+    rep.update_scan(origins[0], hits[0])           # stale state: replay resets
+    Kb = 8                                         # bucketed with no-op pads
+    o = np.zeros((Kb, 2), np.float32)
+    h = np.zeros((Kb, N, 2), np.float32)
+    m = np.zeros((Kb, N), bool)
+    o[:K], h[:K], m[:K] = origins, hits, masks
+    rep.replay(o, h, m)
+
+    np.testing.assert_allclose(
+        np.asarray(rep.log_odds), np.asarray(seq.log_odds), atol=1e-5
+    )
