@@ -142,6 +142,7 @@ class SlamEngine:
         self._state: SlamState | None = None
         self._pending: list = []          # in-flight batched results
         self._last_enq_rel = None         # rel time of last enqueued scan
+        self._map_dirty = False           # closure happened; replay on read
         self._lc_verify_fn = None         # batched LC verification program
 
     # ── registration front-end (reference slam.py:53-98) ─────────────────
@@ -352,16 +353,21 @@ class SlamEngine:
         return [(np.asarray(Rs[j]), np.asarray(ts[j]), float(errs[j]),
                  int(iters[j])) for j in range(len(candidates))]
 
-    def _try_loop_closure(self, points: np.ndarray, cur_idx: int,
-                          cur_xy=None) -> bool:
+    def _lc_find(self, points: np.ndarray, cur_idx: int, cur_xy=None):
+        """Candidate search + verification — NO state mutation. Returns
+        (cand_idx, cand_dist, r_lc, t_lc, err_lc) for the first candidate
+        under the error threshold (the reference's accept-first rule,
+        slam.py:575-597), else None. Mutation-freedom is what lets the
+        optimistic batched path verify mid-chunk and roll back only on
+        actual acceptance."""
         cfg = self.cfg
         candidates = self._find_loop_candidates(cur_idx, cur_xy)
-        if candidates and self.verbose:
+        if not candidates:
+            return None
+        if self.verbose:
             print(f"  LC candidates for scan {cur_idx}: "
                   + ", ".join(f"#{ci}({cd:.1f}m)" for ci, cd in candidates))
-        closed = False
-        batched = (candidates
-                   and cfg.alignment_method in ("rotation_search", "none"))
+        batched = cfg.alignment_method in ("rotation_search", "none")
         if batched:
             verdicts = self._lc_verify_batched(points, candidates)
         for k, (cand_idx, cand_dist) in enumerate(candidates):
@@ -376,25 +382,27 @@ class SlamEngine:
                 print(f"    LC scan {cur_idx}<->{cand_idx}: "
                       f"icp_err={err_lc:.6f}  {mark}")
             if err_lc < cfg.lc_error_threshold:
-                # edge z = vec(T_lc^-1)   (reference slam.py:583-593)
-                T_lc = np.eye(3, dtype=np.float32)
-                T_lc[:2, :2] = r_lc
-                T_lc[:2, 2] = t_lc
-                z_lc = _relative_vec_np(T_lc, np.eye(3, dtype=np.float32))
-                lc_info = np.eye(3, dtype=np.float32) * (
-                    cfg.lc_info_scale / max(err_lc, 1e-6)
-                )
-                self.pose_graph.add_edge(cur_idx, cand_idx, z_lc, lc_info)
-                if self.verbose:
-                    print(f"  * Loop closure accepted: scan {cur_idx} <-> "
-                          f"scan {cand_idx} (dist={cand_dist:.2f}m, "
-                          f"icp_err={err_lc:.6f})")
-                closed = True
-                break
+                return cand_idx, cand_dist, r_lc, t_lc, err_lc
+        return None
 
-        if not closed:
-            return False
-
+    def _lc_apply(self, cur_idx, cand_idx, cand_dist, r_lc, t_lc, err_lc):
+        """Accept a verified closure: add the edge, optimize the graph,
+        rewrite history/trajectory/submap, rebuild the map (reference
+        slam.py:583-620)."""
+        cfg = self.cfg
+        # edge z = vec(T_lc^-1)   (reference slam.py:583-593)
+        T_lc = np.eye(3, dtype=np.float32)
+        T_lc[:2, :2] = r_lc
+        T_lc[:2, 2] = t_lc
+        z_lc = _relative_vec_np(T_lc, np.eye(3, dtype=np.float32))
+        lc_info = np.eye(3, dtype=np.float32) * (
+            cfg.lc_info_scale / max(err_lc, 1e-6)
+        )
+        self.pose_graph.add_edge(cur_idx, cand_idx, z_lc, lc_info)
+        if self.verbose:
+            print(f"  * Loop closure accepted: scan {cur_idx} <-> "
+                  f"scan {cand_idx} (dist={cand_dist:.2f}m, "
+                  f"icp_err={err_lc:.6f})")
         self.stats.loop_closures += 1
         self.pose_graph.optimize(n_iterations=cfg.lc_opt_iters, fix_node=0)
         corrected = self.pose_graph.get_poses_as_matrices()
@@ -409,9 +417,26 @@ class SlamEngine:
                 for rec in self.scan_history[-cfg.submap_size:]
             ]
         if self.mapper is not None:
+            # Defer the O(K) map replay: registration never reads the grid
+            # (ICP matches against the ring submap), and the replay zeroes
+            # the grid before repainting every keyframe at its CURRENT
+            # pose — so stale incremental paints between now and the next
+            # map read are overwritten wholesale. Rebuilding lazily at the
+            # next read (sync_map) yields a byte-identical map to the
+            # reference's rebuild-per-closure (slam.py:618-620) while
+            # keeping the ~1s replay off the per-scan critical path.
             if self.verbose:
-                print("  Rebuilding occupancy grid ...")
-            self._rebuild_map()
+                print("  Map rebuild deferred to next read ...")
+            self._map_dirty = True
+
+    def _try_loop_closure(self, points: np.ndarray, cur_idx: int,
+                          cur_xy=None) -> bool:
+        """Per-scan arbitration (reference slam.py:565-620): find+verify,
+        then apply on acceptance."""
+        found = self._lc_find(points, cur_idx, cur_xy)
+        if found is None:
+            return False
+        self._lc_apply(cur_idx, *found)
         return True
 
     # ── fused single-dispatch path (models/slam_step.py) ─────────────────
@@ -450,8 +475,19 @@ class SlamEngine:
                                  max(int(cfg.submap_size), 1))
 
     def sync_map(self):
-        """Pull the device-resident grid into the mapper (for export)."""
-        if self._state is not None and self.mapper is not None:
+        """Pull the device-resident grid into the mapper (for export).
+
+        If a loop closure marked the map dirty, replay the full history at
+        the corrected poses first (the deferred reference rebuild,
+        slam.py:271-277) and push the rebuilt grid back into device state
+        so subsequent incremental paints continue from it."""
+        if self._state is None or self.mapper is None:
+            return
+        if self._map_dirty:
+            self._rebuild_map()
+            self._map_dirty = False
+            self._state = self._state._replace(log_odds=self.mapper.log_odds)
+        else:
             self.mapper.log_odds = self._state.log_odds
 
     def maybe_snapshot(self):
@@ -496,7 +532,10 @@ class SlamEngine:
             ring_pts=jnp.asarray(ring_pts),
             ring_mask=jnp.asarray(ring_mask),
             ring_idx=jnp.int32(len(recent)),
-            log_odds=self.mapper.log_odds,
+            # carry the LIVE device grid: the map rebuild is deferred
+            # (self._map_dirty), and mapper.log_odds may alias a buffer the
+            # donating fused program has already consumed
+            log_odds=self._state.log_odds,
         )
 
     def _imu_for(self, rel_time_us, prev_rel):
@@ -542,97 +581,83 @@ class SlamEngine:
                   f"pos=({pos[0]:+.3f}, {pos[1]:+.3f})  yaw={yaw:+.2f} deg")
         return True
 
-    def _lc_safe_batch(self, limit: int) -> int:
-        """Largest k <= limit such that NO loop closure can trigger within
-        the next k scans — a conservative distance screen.
-
-        A node i can trigger at future scan cur_idx+k only if it passes the
-        temporal gate (i <= cur_idx + k - min_interval) and the pose has
-        come within lc_distance of it. The pose moves at most k * max_step
-        (max per-scan displacement observed so far; submap corrections are
-        themselves gated by sub_corr_dist). The travel gate is ignored
-        (ignoring it is conservative). Far from any revisit this returns
-        `limit` (full batched dispatches); near one it decays to 1
-        (per-scan stepping, identical to the reference arbitration).
-        """
-        cfg = self.cfg
-        n = len(self.scan_history)
-        cur_idx = n - 1
-        if n < 2:
-            return limit
-        poses = np.stack([r.pose[:2, 2] for r in self.scan_history])
-        cur = self.global_pose[:2, 2]
-        steps = np.linalg.norm(np.diff(poses, axis=0), axis=1)
-        max_step = max(float(steps.max()), float(cfg.sub_corr_dist), 1e-3)
-        dist = np.linalg.norm(poses - cur, axis=1)
-        idx = np.arange(n)
-        for k in range(limit, 1, -1):
-            eligible = idx <= (cur_idx + k) - cfg.lc_min_interval
-            reach = cfg.lc_distance + k * max_step
-            if not np.any(eligible & (dist < reach)):
-                return k
-        return 1
-
     def _process_scans_lc(self, scans: list, rel_times: list) -> int:
-        """Batched stepping with loop closure enabled: fused-batch chunks
-        wherever the pre-screen proves no LC can trigger, dropping to
-        per-scan arbitration near revisits. Each chunk is drained
-        immediately (LC decisions need fresh poses), and every node added
-        by a chunk still gets its candidate check afterwards, so a closure
-        missed by the screen is recovered at most a chunk late."""
+        """Optimistic fused batching under loop closure.
+
+        Whole chunks are dispatched as ONE fused device call, then the
+        results are bookkept node-by-node on the host with exactly the
+        per-scan arbitration of the reference (slam.py:565-620): every new
+        node past lc_min_interval gets its candidate check. Verification
+        (_lc_find) is mutation-free, so rejected candidates cost one
+        batched verify dispatch and nothing else. When a closure ACCEPTS
+        at chunk position j, the not-yet-bookkept tail of the chunk was
+        computed against pre-closure state — it is discarded, the closure
+        is applied (optimize + history rewrite + map rebuild), device
+        state is resynced from the corrected history, and stepping resumes
+        at position j+1. The rollback price is paid only at actual
+        closures, so the common case is one dispatch per B scans instead
+        of one per scan."""
         accepted = 0
         i = 0
+        B = int(self.cfg.batch_scans)
         while i < len(scans):
-            remaining = len(scans) - i
-            k = min(self._lc_safe_batch(self.cfg.batch_scans), remaining)
-            if k < 2:
-                accepted += bool(self.process_scan(scans[i], rel_times[i]))
-                i += 1
-                continue
-            n0 = self.pose_graph.n_nodes
-            accepted += self._dispatch_batch(
-                scans[i:i + k], rel_times[i:i + k],
-                pad_to=self.cfg.batch_scans,
-            )
-            accepted += self._drain_pending()
-            t2 = time.perf_counter()
-            for cur_idx in range(max(n0, self.cfg.lc_min_interval),
-                                 self.pose_graph.n_nodes):
-                rec = self.scan_history[cur_idx]
-                if self._try_loop_closure(rec.points, cur_idx,
-                                          cur_xy=rec.pose[:2, 2]):
-                    self._resync_state_after_lc(self.prev_points)
-            self.stats.wall_loop_closure += time.perf_counter() - t2
-            i += k
+            chunk_s = scans[i:i + B]
+            chunk_r = rel_times[i:i + B]
+            outs = self._dispatch_chunk_sync(chunk_s, chunk_r, pad_to=B)
+            rolled_back = False
+            for j in range(len(chunk_s)):
+                ok = self._bookkeep_fused(
+                    chunk_s[j],
+                    np.asarray(outs.pose[j]), float(outs.error[j]),
+                    bool(outs.accepted[j]), bool(outs.sub_applied[j]),
+                    float(outs.err_inc[j]), int(outs.iters[j]),
+                )
+                self.prev_points = chunk_s[j]
+                self.prev_rel_time = chunk_r[j]
+                accepted += bool(ok)
+                if not ok:
+                    continue
+                cur_idx = self.pose_graph.n_nodes - 1
+                if cur_idx < self.cfg.lc_min_interval:
+                    continue
+                t2 = time.perf_counter()
+                found = self._lc_find(chunk_s[j], cur_idx)
+                if found is None:
+                    self.stats.wall_loop_closure += time.perf_counter() - t2
+                    continue
+                self._lc_apply(cur_idx, *found)
+                self._resync_state_after_lc(chunk_s[j])
+                self.stats.wall_loop_closure += time.perf_counter() - t2
+                i += j + 1              # discard the stale chunk tail
+                rolled_back = True
+                break
+            if not rolled_back:
+                i += len(chunk_s)
         return accepted
 
     def process_scans_batched(self, scans: list, rel_times: list) -> int:
         """Fused-batch path: B scans in ONE device dispatch (lax.scan).
 
-        With loop closure enabled, chunks are screened so no closure can
-        trigger inside a fused dispatch (see _process_scans_lc). Returns
+        With loop closure enabled, chunks run optimistically with
+        rollback at accepted closures (see _process_scans_lc). Returns
         number of accepted scans.
         """
         if self.cfg.lc_enabled and self._state is not None:
             return self._process_scans_lc(scans, rel_times)
         return self._dispatch_batch(scans, rel_times)
 
-    def _dispatch_batch(self, scans: list, rel_times: list,
-                        pad_to: int | None = None) -> int:
-        """Dispatch len(scans) scans in one fused device call. With
-        pad_to=B, the batch is padded to B with all-False-mask scans
-        (exact no-ops on device, never bookkept) so every chunk size
-        reuses the same compiled program."""
+    def _pack_batch(self, scans: list, rel_times: list, pad_to: int,
+                    prev_rel):
+        """Pad B scans + their IMU lookups into fixed-shape batch inputs.
+        Padding rows have all-False masks — exact no-ops under the fused
+        step's degenerate gate — so every chunk size reuses one compiled
+        program."""
         B = max(len(scans), pad_to or 0)
         cap = self._cap
         pts = np.zeros((B, cap, 2), np.float32)
         msk = np.zeros((B, cap), bool)
         deltas = np.zeros(B, np.float32)
         yaws = np.zeros(B, np.float32)
-        # IMU deltas chain off the last ENQUEUED scan (results of the
-        # previous batch may still be in flight)
-        prev_rel = (self._last_enq_rel if self._last_enq_rel is not None
-                    else self.prev_rel_time)
         for i, (p, r) in enumerate(zip(scans, rel_times)):
             n = min(p.shape[0], cap)
             pts[i, :n] = p[:n]
@@ -643,7 +668,35 @@ class SlamEngine:
             yaws[i] = yaw if yaw is not None else 0.0
             deltas[i] = delta if delta is not None else 0.0
             prev_rel = r
+        return pts, msk, deltas, yaws
 
+    def _dispatch_chunk_sync(self, scans: list, rel_times: list,
+                             pad_to: int):
+        """One fused dispatch + immediate fetch (no pipelining — the LC
+        arbitration needs the per-scan results before the next chunk)."""
+        pts, msk, deltas, yaws = self._pack_batch(
+            scans, rel_times, pad_to, self.prev_rel_time
+        )
+        t0 = time.perf_counter()
+        self._state, outs = self._batch_fn(
+            self._state, jnp.asarray(pts), jnp.asarray(msk),
+            jnp.asarray(deltas), jnp.asarray(yaws),
+        )
+        outs = jax.device_get(outs)
+        self.stats.wall_registration += time.perf_counter() - t0
+        return outs
+
+    def _dispatch_batch(self, scans: list, rel_times: list,
+                        pad_to: int | None = None) -> int:
+        """Dispatch len(scans) scans in one fused device call, pipelining
+        the result fetch behind the next batch's dispatch."""
+        # IMU deltas chain off the last ENQUEUED scan (results of the
+        # previous batch may still be in flight)
+        prev_rel = (self._last_enq_rel if self._last_enq_rel is not None
+                    else self.prev_rel_time)
+        pts, msk, deltas, yaws = self._pack_batch(
+            scans, rel_times, pad_to or 0, prev_rel
+        )
         t0 = time.perf_counter()
         self._state, outs = self._batch_fn(
             self._state, jnp.asarray(pts), jnp.asarray(msk),
