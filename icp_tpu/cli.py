@@ -34,7 +34,9 @@ def main(argv=None):
     parser.add_argument("--synth", action="store_true",
                         help="generate a synthetic sequence at data_file/imu "
                              "paths from the config before running")
-    parser.add_argument("--synth-scans", type=int, default=120)
+    parser.add_argument("--synth-scans", type=int, default=200)
+    parser.add_argument("--synth-beams", type=int, default=720)
+    parser.add_argument("--synth-noise", type=float, default=0.005)
     args = parser.parse_args(argv)
 
     from icp_tpu.utils.config import SlamConfig
@@ -47,6 +49,8 @@ def main(argv=None):
             cfg.data_file,
             cfg.imu_file or (cfg.data_file + ".imu.csv"),
             n_scans=args.synth_scans,
+            n_beams=args.synth_beams,
+            noise=args.synth_noise,
         )
         np.save(cfg.data_file + ".gt.npy", gt)
         print(f"synthetic sequence written: {cfg.data_file} "

@@ -1052,9 +1052,10 @@ def run_slam(cfg: SlamConfig | dict, verbose: bool = True,
         engine.load_checkpoint(resume)
     service = LidarService(cfg.data_file, sleep_s=cfg.sleep_s, loop=cfg.loop)
 
-    # Batched fused stepping amortizes the host<->device round trip; loop
-    # closure needs per-scan host arbitration, so it forces batch size 1.
-    batch_n = 1 if cfg.lc_enabled else max(int(cfg.batch_scans), 1)
+    # Batched fused stepping amortizes the host<->device round trip; with
+    # loop closure enabled the engine arbitrates per node with rollback at
+    # accepted closures (_process_scans_lc), so batching stays on.
+    batch_n = max(int(cfg.batch_scans), 1)
 
     scan_counter = 0
     submitted = 0          # scans handed to the engine (results may lag)
