@@ -98,6 +98,7 @@ class SlamStats:
     submap_corrections: int = 0
     loop_closures: int = 0
     icp_iters: int = 0
+    truncated_scans: int = 0   # scans out-ranging the auto ray bound
     wall_registration: float = 0.0
     wall_mapping: float = 0.0
     wall_loop_closure: float = 0.0
@@ -144,6 +145,39 @@ class SlamEngine:
         self._last_enq_rel = None         # rel time of last enqueued scan
         self._map_dirty = False           # closure happened; replay on read
         self._lc_verify_fn = None         # batched LC verification program
+        self._ray_bound: int | None = None  # resolved max_ray_cells
+        self._warned_truncate = False
+
+    # ── ray bound (max_ray_cells: int | "auto") ──────────────────────────
+    def _resolve_ray_bound(self, first_points: np.ndarray) -> int:
+        """Static Bresenham step bound. "auto" sizes it from the first
+        scan's max range with 1.5x headroom (multiple of 64); an explicit
+        int is used as-is (the reference marks free cells all the way to
+        every hit, mapping.py:135-139 — the bound must cover the longest
+        expected ray in grid cells)."""
+        mrc = self.cfg.max_ray_cells
+        if isinstance(mrc, str):
+            if mrc != "auto":
+                raise ValueError(f"max_ray_cells must be int or 'auto', "
+                                 f"got {mrc!r}")
+            rmax = float(np.max(np.linalg.norm(first_points, axis=1)))
+            cells = int(np.ceil(rmax / self.cfg.map_resolution)) + 2
+            return max(64, int(np.ceil(cells * 1.5 / 64.0)) * 64)
+        return int(mrc)
+
+    def _check_ray_bound(self, points_2d: np.ndarray):
+        """Host-side per-scan guard: count scans whose longest ray exceeds
+        the static bound (their free-space marking is truncated)."""
+        if self._ray_bound is None or points_2d.shape[0] == 0:
+            return
+        rmax = float(np.max(np.linalg.norm(points_2d, axis=1)))
+        if int(np.ceil(rmax / self.cfg.map_resolution)) + 2 > self._ray_bound:
+            self.stats.truncated_scans += 1
+            if not self._warned_truncate:
+                self._warned_truncate = True
+                print(f"  [warn] scan out-ranges max_ray_cells="
+                      f"{self._ray_bound} ({rmax:.1f} m); free-space "
+                      f"marking truncated (counted in stats)")
 
     # ── registration front-end (reference slam.py:53-98) ─────────────────
     def _run_icp_pair(self, source: np.ndarray, target: np.ndarray):
@@ -232,6 +266,7 @@ class SlamEngine:
             angle_step=float(angle_step),
             fine_step=float(cfg.sub_rot_fine),
             voxel_size=cfg.sub_rot_voxel,
+            src_cap=cfg.sweep_src_cap, tgt_cap=cfg.sweep_tgt_cap,
         )
         res = icp(
             sp, sm, sub_pts, sub_mask, R_init, t_init,
@@ -464,11 +499,13 @@ class SlamEngine:
             sub_rot_voxel=float(cfg.sub_rot_voxel),
             sub_corr_dist=float(cfg.sub_corr_dist),
             imu_narrow=float(cfg.imu_narrow),
+            sweep_src_cap=int(cfg.sweep_src_cap),
+            sweep_tgt_cap=int(cfg.sweep_tgt_cap),
             grid_min_x=m.min_x, grid_min_y=m.min_y,
             grid_resolution=m.resolution,
             l_hit=m.l_hit, l_miss=m.l_miss,
             log_odds_min=m.log_odds_min, log_odds_max=m.log_odds_max,
-            max_ray_cells=int(cfg.max_ray_cells),
+            max_ray_cells=m.max_ray_cells,
         )
         sp, sm = _pad_fixed(first_points, self._cap)
         self._state = init_state(sp, sm, m.log_odds,
@@ -659,6 +696,7 @@ class SlamEngine:
         deltas = np.zeros(B, np.float32)
         yaws = np.zeros(B, np.float32)
         for i, (p, r) in enumerate(zip(scans, rel_times)):
+            self._check_ray_bound(p)
             n = min(p.shape[0], cap)
             pts[i, :n] = p[:n]
             if n > 0:
@@ -853,11 +891,15 @@ class SlamEngine:
         self.pose_trajectory = [r.pose for r in self.scan_history[1:]]
         gm = d["grid_meta"]
         if d["log_odds"].size:
+            if self._ray_bound is None:
+                first = (self.scan_history[0].points if self.scan_history
+                         else np.ones((1, 2), np.float32))
+                self._ray_bound = self._resolve_ray_bound(first)
             self.mapper = OccupancyGrid2D(
                 gm[0], gm[1], gm[2], gm[3], resolution=gm[4],
                 p_hit=cfg.p_hit, p_miss=cfg.p_miss,
                 log_odds_min=cfg.log_odds_min, log_odds_max=cfg.log_odds_max,
-                max_ray_cells=cfg.max_ray_cells,
+                max_ray_cells=self._ray_bound,
             )
             self.mapper.log_odds = jnp.asarray(d["log_odds"])
         self.pose_graph = PoseGraph2D()
@@ -892,13 +934,14 @@ class SlamEngine:
                     print(f"  [IMU] Calibrated initial yaw offset: "
                           f"{np.degrees(self.imu_yaw_offset):.1f} deg")
             bounds = compute_bounds_from_scan(points_2d, cfg.map_margin)
+            self._ray_bound = self._resolve_ray_bound(points_2d)
             self.mapper = OccupancyGrid2D(
                 *bounds,
                 resolution=cfg.map_resolution,
                 p_hit=cfg.p_hit, p_miss=cfg.p_miss,
                 log_odds_min=cfg.log_odds_min,
                 log_odds_max=cfg.log_odds_max,
-                max_ray_cells=cfg.max_ray_cells,
+                max_ray_cells=self._ray_bound,
             )
             gp = points_2d @ self.global_pose[:2, :2].T + self.global_pose[:2, 2]
             self.mapper.update_scan(self.global_pose[:2, 2], gp)
@@ -921,6 +964,7 @@ class SlamEngine:
             if self.prev_rel_time is not None:
                 imu_delta = self.imu.delta_yaw(self.prev_rel_time, rel_time_us)
 
+        self._check_ray_bound(points_2d)
         if self._state is not None:
             return self._process_scan_fused(points_2d, rel_time_us,
                                             imu_yaw, imu_delta)

@@ -35,22 +35,32 @@ def _fine_count(step_coarse_deg: float, step_fine_deg: float) -> int:
     return int(np.ceil((hi - lo) / np.deg2rad(step_fine_deg) - 1e-9))
 
 
-@partial(jax.jit, static_argnames=("angle_step_coarse", "angle_step_fine"))
+@partial(jax.jit, static_argnames=("angle_step_coarse", "angle_step_fine",
+                                   "src_cap", "tgt_cap"))
 def rotation_search(
     source, src_mask, target, tgt_mask,
     *,
     voxel_size=0.3,
     angle_step_coarse: float = 2.0,
     angle_step_fine: float = 0.2,
+    src_cap: int | None = None,
+    tgt_cap: int | None = None,
 ):
     """Brute-force global rotation search after centroid alignment.
 
     Returns (R (2,2), t (2,), score). Degenerate inputs (<5 valid points in
     either cloud after downsampling) return (I, 0, BIG) — reference
     features.py:203-204 returns inf there.
+
+    ``src_cap``/``tgt_cap``: optional static compaction of the sweep clouds
+    (valid voxels occupy the first slots — see submap_rotation_search).
     """
     src, sm = voxel_downsample(source, src_mask, voxel_size)
     tgt, tm = voxel_downsample(target, tgt_mask, voxel_size)
+    if src_cap is not None and src_cap < src.shape[0]:
+        src, sm = src[:src_cap], sm[:src_cap]
+    if tgt_cap is not None and tgt_cap < tgt.shape[0]:
+        tgt, tm = tgt[:tgt_cap], tm[:tgt_cap]
 
     mu_s = masked_centroid(src, sm)
     mu_t = masked_centroid(tgt, tm)
@@ -98,7 +108,8 @@ def _masked_percentile(values, mask, q: float):
 
 @partial(
     jax.jit,
-    static_argnames=("angle_range", "angle_step", "fine_step"),
+    static_argnames=("angle_range", "angle_step", "fine_step",
+                     "src_cap", "tgt_cap"),
 )
 def submap_rotation_search(
     source_local, src_mask, submap_global, submap_mask, predicted_pose,
@@ -107,6 +118,8 @@ def submap_rotation_search(
     angle_step: float = 2.0,
     fine_step: float = 0.5,
     voxel_size=0.3,
+    src_cap: int | None = None,
+    tgt_cap: int | None = None,
 ):
     """Rotation sweep around the predicted yaw with translation pinned to the
     predicted position, then one NN-centroid translation refinement using the
@@ -114,9 +127,23 @@ def submap_rotation_search(
 
     Reference: _submap_rotation_search (/root/reference/slam.py:111-183).
     Returns (R (2,2), t (2,)).
+
+    ``src_cap`` / ``tgt_cap`` optionally shrink the static capacity of the
+    voxel-downsampled clouds the sweep scores run over: voxel_downsample
+    emits valid voxels in the FIRST n_unique slots, so a slice is lossless
+    whenever n_unique <= cap (the coarse 0.2-0.3 m sweep voxel grid yields
+    far fewer voxels than the raw-cloud capacity the inputs are padded to —
+    the full-capacity sweep wastes >10x compute on masked padding). Pick
+    caps with generous headroom; if a cloud ever overflows, the overflow
+    voxels (lexicographically last) are dropped from the sweep scoring
+    only — the subsequent ICP still sees the full submap.
     """
     src, sm = voxel_downsample(source_local, src_mask, voxel_size)
     tgt, tm = voxel_downsample(submap_global, submap_mask, voxel_size)
+    if src_cap is not None and src_cap < src.shape[0]:
+        src, sm = src[:src_cap], sm[:src_cap]
+    if tgt_cap is not None and tgt_cap < tgt.shape[0]:
+        tgt, tm = tgt[:tgt_cap], tm[:tgt_cap]
 
     pred_t = predicted_pose[:2, 2]
     pred_theta = jnp.arctan2(predicted_pose[1, 0], predicted_pose[0, 0])

@@ -106,6 +106,8 @@ def make_slam_step(
     sub_rot_voxel: float,
     sub_corr_dist: float,
     imu_narrow: float,
+    sweep_src_cap: int | None = None,
+    sweep_tgt_cap: int | None = None,
     # mapping
     grid_min_x: float,
     grid_min_y: float,
@@ -178,6 +180,7 @@ def make_slam_step(
                 cur_pts, cur_mask, sub_pts, sub_mask, pred,
                 angle_range=a_range, angle_step=a_step,
                 fine_step=sub_rot_fine, voxel_size=sub_rot_voxel,
+                src_cap=sweep_src_cap, tgt_cap=sweep_tgt_cap,
             )
             cur_d, cur_dm = voxel_downsample(cur_pts, cur_mask, icp_voxel)
             res_sub = icp_core(

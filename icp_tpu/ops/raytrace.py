@@ -82,6 +82,16 @@ def raytrace_update(
 
     Reference: OccupancyGrid2D.update_scan
     (/root/reference/utilities/mapping.py:103-141).
+
+    When the grid is larger than the scan's reach, the free-cell scatter
+    goes through a (2*max_steps)^2 LOCAL WINDOW around the origin instead
+    of the whole grid: every emitted Bresenham cell is at step s < M <=
+    max_steps, i.e. within Chebyshev radius max_steps of the origin, and
+    the window start is clamped so the window lies fully inside the grid —
+    so in-window membership == in-grid membership for every free cell and
+    the result is bit-identical to the full-grid scatter. The small scatter
+    operand keeps the accumulation local (HBM-scatter into a multi-MB grid
+    is the single most expensive op of the fused SLAM step).
     """
     ny, nx = log_odds.shape
 
@@ -98,10 +108,27 @@ def raytrace_update(
     fx = cells[..., 0].reshape(-1)
     fy = cells[..., 1].reshape(-1)
     act = active.reshape(-1)
-    in_b = act & (fx >= 0) & (fx < nx) & (fy >= 0) & (fy < ny)
-    fx_s = jnp.where(in_b, fx, nx)
-    log_odds = log_odds.at[fy, fx_s].add(
-        jnp.where(in_b, l_miss, 0.0), mode="drop"
-    )
+
+    W = 2 * max_steps
+    if W < min(nx, ny):
+        # windowed scatter: window fully inside the grid, covering all
+        # cells within Chebyshev radius max_steps of the origin
+        wx = jnp.clip(origin_cell[0] - max_steps, 0, nx - W)
+        wy = jnp.clip(origin_cell[1] - max_steps, 0, ny - W)
+        lx = fx - wx
+        ly = fy - wy
+        in_b = act & (lx >= 0) & (lx < W) & (ly >= 0) & (ly < W)
+        lx_s = jnp.where(in_b, lx, W)
+        delta = jnp.zeros((W, W), log_odds.dtype).at[ly, lx_s].add(
+            jnp.where(in_b, l_miss, 0.0), mode="drop"
+        )
+        win = lax.dynamic_slice(log_odds, (wy, wx), (W, W)) + delta
+        log_odds = lax.dynamic_update_slice(log_odds, win, (wy, wx))
+    else:
+        in_b = act & (fx >= 0) & (fx < nx) & (fy >= 0) & (fy < ny)
+        fx_s = jnp.where(in_b, fx, nx)
+        log_odds = log_odds.at[fy, fx_s].add(
+            jnp.where(in_b, l_miss, 0.0), mode="drop"
+        )
 
     return jnp.clip(log_odds, lo_min, lo_max)

@@ -115,9 +115,28 @@ class SlamConfig:
     # tpu-specific
     scan_capacity: int = 1024
     submap_capacity: int = 8192
-    max_ray_cells: int = 2048
+    # int, or "auto" = size the Bresenham step bound from the first scan's
+    # max range (x1.5, rounded up to a multiple of 64); later scans that
+    # out-range the bound get their free-space marking truncated (counted
+    # in stats.truncated_scans, warned once)
+    max_ray_cells: int | str = 2048
     fused: bool = True
     batch_scans: int = 8
+    # static capacities for the submap rotation-sweep scoring clouds
+    # (coarse-voxelized, so far fewer valid slots than the raw capacities;
+    # see prealign.submap_rotation_search). None -> derived defaults.
+    sweep_src_capacity: int | None = None
+    sweep_tgt_capacity: int | None = None
+
+    @property
+    def sweep_src_cap(self) -> int:
+        return (self.sweep_src_capacity if self.sweep_src_capacity
+                else max(256, self.scan_capacity // 2))
+
+    @property
+    def sweep_tgt_cap(self) -> int:
+        return (self.sweep_tgt_capacity if self.sweep_tgt_capacity
+                else max(512, self.submap_capacity // 4))
 
     @classmethod
     def from_dict(cls, cfg: dict) -> "SlamConfig":
@@ -199,6 +218,8 @@ class SlamConfig:
         c.max_ray_cells = t.get("max_ray_cells", 2048)
         c.fused = t.get("fused", True)
         c.batch_scans = t.get("batch_scans", 8)
+        c.sweep_src_capacity = t.get("sweep_src_capacity", None)
+        c.sweep_tgt_capacity = t.get("sweep_tgt_capacity", None)
         return c
 
     @classmethod

@@ -76,6 +76,31 @@ def test_raytrace_update_matches_oracle():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_raytrace_update_windowed_matches_oracle():
+    """Grid much larger than 2*max_steps triggers the windowed scatter;
+    result must stay bit-identical to the full-grid path / oracle,
+    including rays that leave the grid and an origin near the edge."""
+    rng = np.random.default_rng(7)
+    ny, nx = 300, 280
+    log_odds = rng.uniform(-1, 1, (ny, nx)).astype(np.float32)
+    for origin in ([140, 150], [2, 3], [275, 295], [-10, 120]):
+        origin = np.asarray(origin, np.int32)
+        hits = (origin + rng.integers(-90, 90, size=(40, 2))).astype(np.int32)
+        valid = rng.random(40) < 0.9
+        want = np_update_scan(log_odds, origin, hits[valid], nx, ny,
+                              0.85, -0.4, -5.0, 5.0)
+        got = np.asarray(
+            raytrace_update(
+                jnp.asarray(log_odds), jnp.asarray(origin), jnp.asarray(hits),
+                jnp.asarray(valid),
+                jnp.float32(0.85), jnp.float32(-0.4),
+                jnp.float32(-5.0), jnp.float32(5.0),
+                max_steps=96,
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_occupancy_grid_end_to_end():
     g = OccupancyGrid2D(-5, 5, -5, 5, resolution=0.5, max_ray_cells=64)
     origin = np.zeros(2, np.float32)
