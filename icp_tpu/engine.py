@@ -165,6 +165,30 @@ class SlamEngine:
             return max(64, int(np.ceil(cells * 1.5 / 64.0)) * 64)
         return int(mrc)
 
+    def _resolve_free_cap(self, first_points: np.ndarray,
+                          ray_bound: int) -> int | None:
+        """Static capacity for the compacted free-cell scatter
+        (ops/raytrace._scatter_free). "auto" = 2x the first scan's total
+        Bresenham cell count (sum over rays of the Chebyshev cell
+        distance), rounded up to a multiple of 8192. Overflow at run time
+        falls back in-graph to the exact full scatter, so a low estimate
+        costs speed, never correctness."""
+        fcc = self.cfg.free_cells_cap
+        if fcc in (None, 0, "none"):
+            return None
+        full = ray_bound * self.cfg.scan_capacity
+        if isinstance(fcc, str):
+            if fcc != "auto":
+                raise ValueError(f"free_cells_cap must be int, 'auto' or "
+                                 f"None, got {fcc!r}")
+            cheb = np.max(np.abs(first_points[:, :2]), axis=1)
+            est = float(np.sum(cheb)) / self.cfg.map_resolution
+            cap = int(np.ceil(est * 2.0 / 8192.0)) * 8192
+            cap = max(8192, cap)
+        else:
+            cap = int(fcc)
+        return None if cap >= full else cap
+
     def _check_ray_bound(self, points_2d: np.ndarray):
         """Host-side per-scan guard: count scans whose longest ray exceeds
         the static bound (their free-space marking is truncated)."""
@@ -506,6 +530,7 @@ class SlamEngine:
             l_hit=m.l_hit, l_miss=m.l_miss,
             log_odds_min=m.log_odds_min, log_odds_max=m.log_odds_max,
             max_ray_cells=m.max_ray_cells,
+            free_cells_cap=m.free_cells_cap,
         )
         sp, sm = _pad_fixed(first_points, self._cap)
         self._state = init_state(sp, sm, m.log_odds,
@@ -900,6 +925,10 @@ class SlamEngine:
                 p_hit=cfg.p_hit, p_miss=cfg.p_miss,
                 log_odds_min=cfg.log_odds_min, log_odds_max=cfg.log_odds_max,
                 max_ray_cells=self._ray_bound,
+                free_cells_cap=self._resolve_free_cap(
+                    (self.scan_history[0].points if self.scan_history
+                     else np.ones((1, 2), np.float32)),
+                    self._ray_bound),
             )
             self.mapper.log_odds = jnp.asarray(d["log_odds"])
         self.pose_graph = PoseGraph2D()
@@ -942,6 +971,8 @@ class SlamEngine:
                 log_odds_min=cfg.log_odds_min,
                 log_odds_max=cfg.log_odds_max,
                 max_ray_cells=self._ray_bound,
+                free_cells_cap=self._resolve_free_cap(points_2d,
+                                                      self._ray_bound),
             )
             gp = points_2d @ self.global_pose[:2, :2].T + self.global_pose[:2, 2]
             self.mapper.update_scan(self.global_pose[:2, 2], gp)

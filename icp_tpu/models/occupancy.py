@@ -19,9 +19,10 @@ import jax.numpy as jnp
 from icp_tpu.ops.raytrace import raytrace_update
 
 
-@partial(jax.jit, static_argnames=("max_steps",))
+@partial(jax.jit, static_argnames=("max_steps", "free_cap"))
 def _update(log_odds, origin_xy, hits, mask, min_x, min_y, inv_res,
-            l_hit, l_miss, lo_min, lo_max, *, max_steps: int):
+            l_hit, l_miss, lo_min, lo_max, *, max_steps: int,
+            free_cap: int | None = None):
     origin_cell = jnp.floor(
         (origin_xy - jnp.stack([min_x, min_y])) * inv_res
     ).astype(jnp.int32)
@@ -31,12 +32,14 @@ def _update(log_odds, origin_xy, hits, mask, min_x, min_y, inv_res,
     return raytrace_update(
         log_odds, origin_cell, hit_cells, mask,
         l_hit, l_miss, lo_min, lo_max, max_steps=max_steps,
+        free_cap=free_cap,
     )
 
 
-@partial(jax.jit, static_argnames=("max_steps",))
+@partial(jax.jit, static_argnames=("max_steps", "free_cap"))
 def _replay(log_odds, origins, hits, masks, min_x, min_y, inv_res,
-            l_hit, l_miss, lo_min, lo_max, *, max_steps: int):
+            l_hit, l_miss, lo_min, lo_max, *, max_steps: int,
+            free_cap: int | None = None):
     """Replay K scans over a zeroed grid in ONE compiled program: a
     lax.scan over scans, each applying the same update (so the per-scan
     clamp order of the reference's rebuild loop, slam.py:271-277 →
@@ -45,7 +48,7 @@ def _replay(log_odds, origins, hits, masks, min_x, min_y, inv_res,
         o, h, m = per
         return _update(lo, o, h, m, min_x, min_y, inv_res,
                        l_hit, l_miss, lo_min, lo_max,
-                       max_steps=max_steps), None
+                       max_steps=max_steps, free_cap=free_cap), None
     lo, _ = jax.lax.scan(body, log_odds, (origins, hits, masks))
     return lo
 
@@ -69,6 +72,7 @@ class OccupancyGrid2D:
         log_odds_min=-5.0,
         log_odds_max=5.0,
         max_ray_cells: int = 2048,
+        free_cells_cap: int | None = None,
     ):
         self.min_x = float(min_x)
         self.max_x = float(max_x)
@@ -82,6 +86,10 @@ class OccupancyGrid2D:
         self.log_odds_min = float(log_odds_min)
         self.log_odds_max = float(log_odds_max)
         self.max_ray_cells = int(max_ray_cells)
+        # static capacity for the sorted-compaction free-cell scatter
+        # (ops/raytrace._scatter_free); None disables compaction
+        self.free_cells_cap = (None if free_cells_cap is None
+                               else int(free_cells_cap))
         self.log_odds = jnp.zeros((self.ny, self.nx), jnp.float32)
 
     def update_scan(self, origin_xy, hit_points, mask=None):
@@ -102,7 +110,7 @@ class OccupancyGrid2D:
             jnp.float32(1.0 / self.resolution),
             jnp.float32(self.l_hit), jnp.float32(self.l_miss),
             jnp.float32(self.log_odds_min), jnp.float32(self.log_odds_max),
-            max_steps=self.max_ray_cells,
+            max_steps=self.max_ray_cells, free_cap=self.free_cells_cap,
         )
 
     def replay(self, origins, hits, masks):
@@ -125,7 +133,7 @@ class OccupancyGrid2D:
             jnp.float32(1.0 / self.resolution),
             jnp.float32(self.l_hit), jnp.float32(self.l_miss),
             jnp.float32(self.log_odds_min), jnp.float32(self.log_odds_max),
-            max_steps=self.max_ray_cells,
+            max_steps=self.max_ray_cells, free_cap=self.free_cells_cap,
         )
 
     def reset(self):

@@ -117,6 +117,7 @@ def make_slam_step(
     log_odds_min: float,
     log_odds_max: float,
     max_ray_cells: int,
+    free_cells_cap: int | None = None,
 ):
     """Build the fused jitted step for a fixed configuration + grid."""
 
@@ -217,7 +218,7 @@ def make_slam_step(
             state.log_odds, origin_cell, hit_cells, eff_mask,
             jnp.float32(l_hit), jnp.float32(l_miss),
             jnp.float32(log_odds_min), jnp.float32(log_odds_max),
-            max_steps=max_ray_cells,
+            max_steps=max_ray_cells, free_cap=free_cells_cap,
         )
 
         # ── submap ring push (slam.py:559-562) ──────────────────────────

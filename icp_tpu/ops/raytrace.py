@@ -71,11 +71,42 @@ def bresenham_cells(origin_cell, end_cells, valid, *, max_steps: int):
     return cells, active
 
 
-@partial(jax.jit, static_argnames=("max_steps",))
+def _scatter_free(n_flat, key, in_b, l_miss, dtype, free_cap):
+    """Scatter l_miss at flat cell indices ``key`` (masked by ``in_b``).
+
+    TPU scatter-add costs ~10 ns/element regardless of duplicates or
+    sortedness (measured, tools/profile_scatter.py), while a full sort of
+    the index list costs ~0.2 ms at 655k — so when a static capacity
+    ``free_cap`` is given, sort the keys (sentinel n_flat goes last),
+    slice the first free_cap, and scatter only those. Addends are all
+    equal (l_miss), so any accumulation order inside this delta grid gives
+    bit-identical sums; if the active count overflows the capacity, fall
+    back to the exact full-size scatter via lax.cond (slower, never wrong).
+    """
+    sent = jnp.int32(n_flat)
+    key = jnp.where(in_b, key, sent).astype(jnp.int32)
+    zeros = jnp.zeros((n_flat,), dtype)
+
+    def full(k):
+        return zeros.at[k].add(jnp.where(k < sent, l_miss, 0.0), mode="drop")
+
+    if free_cap is None or free_cap >= key.size:
+        return full(key)
+
+    def compact(k):
+        sk = jax.lax.sort(k, is_stable=False)[:free_cap]
+        return zeros.at[sk].add(jnp.where(sk < sent, l_miss, 0.0),
+                                mode="drop")
+
+    n_act = jnp.sum(in_b)
+    return lax.cond(n_act <= free_cap, compact, full, key)
+
+
+@partial(jax.jit, static_argnames=("max_steps", "free_cap"))
 def raytrace_update(
     log_odds, origin_cell, hit_cells, valid,
     l_hit, l_miss, lo_min, lo_max,
-    *, max_steps: int,
+    *, max_steps: int, free_cap: int | None = None,
 ):
     """One scan's occupancy update: l_hit at endpoints, l_miss along rays,
     then clamp. log_odds is (ny, nx); hit_cells (N, 2) as (ix, iy).
@@ -118,17 +149,21 @@ def raytrace_update(
         lx = fx - wx
         ly = fy - wy
         in_b = act & (lx >= 0) & (lx < W) & (ly >= 0) & (ly < W)
-        lx_s = jnp.where(in_b, lx, W)
-        delta = jnp.zeros((W, W), log_odds.dtype).at[ly, lx_s].add(
-            jnp.where(in_b, l_miss, 0.0), mode="drop"
-        )
+        delta = _scatter_free(W * W, ly * W + lx, in_b, l_miss,
+                              log_odds.dtype, free_cap).reshape(W, W)
         win = lax.dynamic_slice(log_odds, (wy, wx), (W, W)) + delta
         log_odds = lax.dynamic_update_slice(log_odds, win, (wy, wx))
     else:
         in_b = act & (fx >= 0) & (fx < nx) & (fy >= 0) & (fy < ny)
-        fx_s = jnp.where(in_b, fx, nx)
-        log_odds = log_odds.at[fy, fx_s].add(
-            jnp.where(in_b, l_miss, 0.0), mode="drop"
-        )
+        if free_cap is None or free_cap >= fx.size:
+            fx_s = jnp.where(in_b, fx, nx)
+            log_odds = log_odds.at[fy, fx_s].add(
+                jnp.where(in_b, l_miss, 0.0), mode="drop"
+            )
+        else:
+            log_odds = log_odds + _scatter_free(
+                ny * nx, fy * nx + fx, in_b, l_miss, log_odds.dtype,
+                free_cap
+            ).reshape(ny, nx)
 
     return jnp.clip(log_odds, lo_min, lo_max)

@@ -45,29 +45,34 @@ def voxel_downsample(points, mask, voxel_size):
     coords = jnp.floor((points - min_bound) * inv).astype(jnp.int32)
     coords = jnp.where(mask[:, None], coords, _INT_SENTINEL)
 
-    # Lexicographic sort by (c0, c1[, c2]): one multi-key on-device sort.
-    keys = [coords[:, j] for j in range(d)]
-    perm = jnp.arange(n, dtype=jnp.int32)
-    sorted_ops = lax.sort(tuple(keys) + (perm,), num_keys=d, is_stable=True)
-    sorted_coords = jnp.stack(sorted_ops[:d], axis=1)      # (N, D)
-    order = sorted_ops[d]
-    sorted_pts = points[order]
-    sorted_mask = mask[order]
+    # Lexicographic sort by (c0, c1[, c2]), carrying the coordinate planes
+    # through the sort as values: no post-sort gathers (element gathers
+    # execute near-scalar on TPU, and a (N, 2) row gather additionally
+    # pads the trailing dim to 128 lanes — see BENCHMARKS.md layout notes).
+    keys = tuple(coords[:, j] for j in range(d))
+    vals = tuple(points[:, j] for j in range(d))
+    sorted_ops = lax.sort(keys + vals, num_keys=d, is_stable=False)
+    sorted_keys = jnp.stack(sorted_ops[:d], axis=1)        # (N, D)
+    sorted_mask = sorted_ops[0] != _INT_SENTINEL
 
     # Segment heads: first row, or any voxel coordinate differs from prev.
-    diff = jnp.any(sorted_coords != jnp.roll(sorted_coords, 1, axis=0), axis=1)
+    diff = jnp.any(sorted_keys != jnp.roll(sorted_keys, 1, axis=0), axis=1)
     head = diff.at[0].set(True) & sorted_mask
     slot = jnp.cumsum(head.astype(jnp.int32)) - 1          # (N,) dense segment id
     slot = jnp.where(sorted_mask, slot, n)                 # invalid -> dropped
 
-    sums = jnp.zeros((n, d), points.dtype).at[slot].add(
-        jnp.where(sorted_mask[:, None], sorted_pts, 0.0), mode="drop"
-    )
+    # Per-plane flat scatters (a (N, D) row scatter would lane-pad D->128).
     counts = jnp.zeros((n,), points.dtype).at[slot].add(
         sorted_mask.astype(points.dtype), mode="drop"
     )
+    sums = [
+        jnp.zeros((n,), points.dtype).at[slot].add(
+            jnp.where(sorted_mask, sorted_ops[d + j], 0.0), mode="drop"
+        )
+        for j in range(d)
+    ]
     out_mask = counts > 0
-    out = sums / jnp.maximum(counts, 1.0)[:, None]
+    out = jnp.stack(sums, axis=1) / jnp.maximum(counts, 1.0)[:, None]
     # Park invalid slots on the first voxel mean so stray unmasked reads
     # stay in-range.
     out = jnp.where(out_mask[:, None], out, out[0])

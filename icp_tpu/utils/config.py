@@ -120,6 +120,12 @@ class SlamConfig:
     # out-range the bound get their free-space marking truncated (counted
     # in stats.truncated_scans, warned once)
     max_ray_cells: int | str = 2048
+    # static capacity for the sorted-compaction free-cell scatter (see
+    # ops/raytrace._scatter_free): "auto" = 2x the first scan's total
+    # Chebyshev ray cells (multiple of 8192); int = use as-is; None/0 =
+    # disable compaction (always full-size scatter). Overflow falls back
+    # to the exact full scatter in-graph, so this is a perf knob only.
+    free_cells_cap: int | str | None = "auto"
     fused: bool = True
     batch_scans: int = 8
     # static capacities for the submap rotation-sweep scoring clouds
@@ -216,6 +222,7 @@ class SlamConfig:
         c.scan_capacity = t.get("scan_capacity", 1024)
         c.submap_capacity = t.get("submap_capacity", 8192)
         c.max_ray_cells = t.get("max_ray_cells", 2048)
+        c.free_cells_cap = t.get("free_cells_cap", "auto")
         c.fused = t.get("fused", True)
         c.batch_scans = t.get("batch_scans", 8)
         c.sweep_src_capacity = t.get("sweep_src_capacity", None)

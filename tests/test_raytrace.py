@@ -144,3 +144,46 @@ def test_replay_matches_sequential_updates():
     np.testing.assert_allclose(
         np.asarray(rep.log_odds), np.asarray(seq.log_odds), atol=1e-5
     )
+
+
+def test_free_cap_compaction_exact():
+    """Compacted scatter (free_cap) is bit-identical to the full scatter,
+    in both the windowed and the full-grid branches, and the lax.cond
+    overflow fallback keeps it exact when active cells exceed free_cap."""
+    rng = np.random.default_rng(7)
+    for nx, ny, max_steps in ((400, 380, 64), (90, 80, 64)):
+        log_odds = rng.normal(size=(ny, nx)).astype(np.float32)
+        origin = np.array([nx // 2, ny // 2], np.int32)
+        hits = (origin + rng.integers(-60, 60, size=(64, 2))).astype(np.int32)
+        valid = rng.random(64) < 0.9
+        args = (jnp.asarray(log_odds), jnp.asarray(origin),
+                jnp.asarray(hits), jnp.asarray(valid),
+                jnp.float32(0.85), jnp.float32(-0.4),
+                jnp.float32(-5.0), jnp.float32(5.0))
+        windowed = 2 * max_steps < min(nx, ny)
+        want = np.asarray(raytrace_update(*args, max_steps=max_steps))
+        for cap in (8192, 16, 64 * max_steps + 5):  # plenty / overflow / >=E
+            got = np.asarray(
+                raytrace_update(*args, max_steps=max_steps, free_cap=cap)
+            )
+            if windowed:
+                # same delta-grid accumulation structure -> bit-identical
+                np.testing.assert_array_equal(got, want)
+            else:
+                # full-grid branch: delta-grid vs direct in-place scatter
+                # differ only by float addition order
+                np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_occupancy_grid_free_cap():
+    ga = OccupancyGrid2D(-5, 5, -5, 5, resolution=0.1, max_ray_cells=64)
+    gb = OccupancyGrid2D(-5, 5, -5, 5, resolution=0.1, max_ray_cells=64,
+                         free_cells_cap=4096)
+    rng = np.random.default_rng(11)
+    for _ in range(3):
+        origin = rng.uniform(-2, 2, 2).astype(np.float32)
+        hits = rng.uniform(-5, 5, (50, 2)).astype(np.float32)
+        ga.update_scan(origin, hits)
+        gb.update_scan(origin, hits)
+    np.testing.assert_array_equal(np.asarray(ga.log_odds),
+                                  np.asarray(gb.log_odds))
