@@ -112,7 +112,9 @@ def main():
         log_odds_min=engine.mapper.log_odds_min,
         log_odds_max=engine.mapper.log_odds_max,
         max_ray_cells=640,
+        free_cells_cap=engine.mapper.free_cells_cap,
     )
+    print(f"free_cells_cap={engine.mapper.free_cells_cap}", flush=True)
 
     k0 = 1 + 4 * B
     pts, msk, deltas, yaws = engine._pack_batch(
@@ -161,7 +163,8 @@ def main():
     t_full = results.get("full", 0.0)
 
     # no raytrace
-    def rt_stub(g, o, h, m, lh, lm, lo, hi, *, max_steps):
+    def rt_stub(g, o, h, m, lh, lm, lo, hi, *, max_steps,
+                free_cap=None):
         return g + lh * 0.0
     if want("nort"):
         t = time_variant("  - raytrace stubbed", {"raytrace_update": rt_stub})
