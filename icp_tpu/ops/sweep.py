@@ -36,7 +36,15 @@ def sweep_scores(source, src_mask, target, tgt_mask, angles, t_offset,
 
     source: (N, 2); target: (M, 2); angles: (A,); t_offset: (2,).
     Returns scores (A,) f32 (BIG where the sweep is degenerate).
+
+    On TPU this routes through the Pallas streaming-min kernel
+    (nn_min_pallas): the (A*N, M) distance matrix never leaves VMEM, so
+    HBM traffic drops from O(A*N*M) to O(A*N + M) — worth ~10x at submap
+    sweep shapes. On CPU (tests, tools) the chunked XLA formulation runs.
     """
+    if jax.default_backend() == "tpu":
+        return _sweep_scores_pallas(source, src_mask, target, tgt_mask,
+                                    angles, t_offset)
     A = angles.shape[0]
     pad = (-A) % chunk
     angles_p = jnp.pad(angles, (0, pad))
@@ -60,6 +68,26 @@ def sweep_scores(source, src_mask, target, tgt_mask, angles, t_offset,
 
     scores = lax.map(score_chunk, angles_c).reshape(-1)
     return scores[:A]
+
+
+def _sweep_scores_pallas(source, src_mask, target, tgt_mask, angles,
+                         t_offset, *, interpret: bool = False):
+    """TPU path: rotate-all-angles in XLA (tiny), min-distances in Pallas.
+
+    Numerically this computes squared distances by direct differencing in
+    the kernel rather than the ||a||^2+||b||^2-2ab expansion, so no
+    centroid shift is needed for f32 stability.
+    """
+    from icp_tpu.ops.pallas.nn_kernel import nn_min_pallas
+
+    A = angles.shape[0]
+    N = source.shape[0]
+    R = rotmat(angles)                                           # (A, 2, 2)
+    placed = jnp.einsum("nd,aed->ane", source, R,
+                        precision=_PREC) + t_offset              # (A, N, 2)
+    dmin = nn_min_pallas(placed.reshape(A * N, 2), target, tgt_mask,
+                         interpret=interpret)
+    return masked_mean(dmin.reshape(A, N), src_mask[None, :], axis=-1)
 
 
 def best_angle(scores, angles):

@@ -57,3 +57,35 @@ def test_pallas_nn_matches_xla_interpret():
     np.testing.assert_allclose(np.asarray(d_pal),
                                np.asarray(d_ref) ** 2, rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(i_pal), np.asarray(i_ref))
+
+
+def test_pallas_min_matches_xla_interpret():
+    from icp_tpu.ops.pallas.nn_kernel import nn_min_pallas
+
+    rng = np.random.default_rng(1)
+    src = jnp.asarray(rng.uniform(-5, 5, (300, 2)), jnp.float32)   # odd N
+    tgt = jnp.asarray(rng.uniform(-5, 5, (500, 2)), jnp.float32)   # odd M
+    mask = jnp.asarray(np.arange(500) < 450)
+
+    d_ref, _ = nn_query(src, tgt, mask)
+    d_pal = nn_min_pallas(src, tgt, mask, tn=128, tm=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(d_pal),
+                               np.asarray(d_ref) ** 2, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_sweep_matches_xla_interpret():
+    from icp_tpu.ops.sweep import sweep_scores, _sweep_scores_pallas
+
+    rng = np.random.default_rng(2)
+    src = jnp.asarray(rng.uniform(-5, 5, (96, 2)), jnp.float32)
+    sm = jnp.asarray(np.arange(96) < 80)
+    tgt = jnp.asarray(rng.uniform(-5, 5, (160, 2)), jnp.float32)
+    tm = jnp.asarray(np.arange(160) < 140)
+    angles = jnp.asarray(np.deg2rad(np.arange(-30, 30, 2.5)), jnp.float32)
+    t_off = jnp.asarray([0.3, -0.2], jnp.float32)
+
+    s_xla = sweep_scores(src, sm, tgt, tm, angles, t_off)
+    s_pal = _sweep_scores_pallas(src, sm, tgt, tm, angles, t_off,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(s_pal), np.asarray(s_xla),
+                               rtol=1e-4, atol=1e-5)
