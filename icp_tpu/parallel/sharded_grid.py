@@ -7,9 +7,20 @@ kernel for its shard, scatters into a local log-odds delta, and a psum
 combines deltas before the clamped accumulate. Log-odds updates are
 additive and order-independent, so ray sharding is exact.
 
-(Grid-block sharding with halo exchange is the memory-scaling variant for
-maps that exceed one chip's HBM; ray sharding covers the compute-scaling
-case and is collective-light: one psum per scan batch.)
+Two exact variants:
+
+* ``raytrace_update_sharded`` — RAY sharding (compute scaling): rays split
+  over devices, each scatters into a replicated local delta, one psum.
+* ``raytrace_update_block_sharded`` — GRID-BLOCK sharding (memory
+  scaling, for maps beyond one chip's HBM): the (ny, nx) log-odds array
+  lives row-block-sharded across the mesh and is NEVER replicated. Rays
+  are replicated (a scan is tiny next to the map); every device runs the
+  closed-form Bresenham for all rays but scatters only the cells that land
+  in its own row block. Log-odds updates are additive and per-cell, so
+  block-local scatter over a disjoint partition is exact with ZERO
+  collectives — no halo exchange is needed because a Bresenham cell
+  belongs to exactly one block (halos only matter for stencil reads,
+  which mapping never does).
 """
 from __future__ import annotations
 
@@ -57,3 +68,58 @@ def raytrace_update_sharded(mesh: Mesh, log_odds, origin_cell, hit_cells,
 
     delta = _delta(log_odds, origin_cell, hit_cells, valid)
     return jnp.clip(log_odds + delta, lo_min, lo_max)
+
+
+def block_sharding(mesh: Mesh, axis: str = "d"):
+    """NamedSharding for a row-block-sharded (ny, nx) grid."""
+    return jax.NamedSharding(mesh, P(axis, None))
+
+
+def raytrace_update_block_sharded(mesh: Mesh, log_odds, origin_cell,
+                                  hit_cells, valid, l_hit, l_miss,
+                                  lo_min, lo_max, *, max_steps: int,
+                                  axis: str = "d"):
+    """Occupancy update on a row-block-sharded grid (memory scaling).
+
+    ``log_odds`` is (ny, nx) sharded ``P(axis, None)`` (ny divisible by the
+    mesh size); it stays sharded in and out, so a map of size D x HBM fits
+    a D-device mesh. Rays (``hit_cells``/``valid``) are replicated; each
+    device traces all rays (closed-form Bresenham, cheap next to the map)
+    and scatters only the cells inside its own row block. Exact vs the
+    single-device ``ops.raytrace.raytrace_update`` full-grid path: the row
+    blocks partition the grid, so every in-bounds cell is scattered by
+    exactly one device and the clamp is elementwise.
+
+    Reference semantics: OccupancyGrid2D.update_scan
+    (/root/reference/utilities/mapping.py:103-141).
+    """
+    ny, nx = log_odds.shape
+    n_dev = mesh.shape[axis]
+    assert ny % n_dev == 0, f"ny={ny} must divide mesh size {n_dev}"
+    block_ny = ny // n_dev
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(), P(), P()),
+        out_specs=P(axis, None),
+    )
+    def _update(lo, oc, hc, vm):
+        # lo is this device's (block_ny, nx) row block
+        r0 = lax.axis_index(axis) * block_ny
+
+        hx, hy = hc[:, 0], hc[:, 1]
+        ly = hy - r0
+        hit_in = vm & (hx >= 0) & (hx < nx) & (ly >= 0) & (ly < block_ny)
+        hx_s = jnp.where(hit_in, hx, nx)
+        lo = lo.at[ly, hx_s].add(jnp.where(hit_in, l_hit, 0.0), mode="drop")
+
+        cells, active = bresenham_cells(oc, hc, vm, max_steps=max_steps)
+        fx = cells[..., 0].reshape(-1)
+        fy = cells[..., 1].reshape(-1) - r0
+        act = active.reshape(-1)
+        in_b = act & (fx >= 0) & (fx < nx) & (fy >= 0) & (fy < block_ny)
+        fx_s = jnp.where(in_b, fx, nx)
+        lo = lo.at[fy, fx_s].add(jnp.where(in_b, l_miss, 0.0), mode="drop")
+        return jnp.clip(lo, lo_min, lo_max)
+
+    return _update(log_odds, origin_cell, hit_cells, valid)

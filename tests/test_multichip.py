@@ -93,6 +93,30 @@ def test_raytrace_sharded_matches_single():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+def test_raytrace_block_sharded_matches_single():
+    """Grid-block (row) sharded map update == single-device full-grid
+    update; the log-odds array stays sharded in and out."""
+    from icp_tpu.parallel.sharded_grid import (
+        raytrace_update_block_sharded, block_sharding,
+    )
+    rng = np.random.default_rng(4)
+    ny, nx = 64, 40                       # 8 row blocks of 8 rows
+    mesh = make_mesh(8)
+    grid_host = jnp.asarray(rng.normal(0, 0.5, (ny, nx)), jnp.float32)
+    grid = jax.device_put(grid_host, block_sharding(mesh))
+    origin = jnp.asarray([17, 33], jnp.int32)
+    # include out-of-bounds endpoints: parity must cover the drop path
+    hits = jnp.asarray(rng.integers(-8, 72, (48, 2)), jnp.int32)
+    ok = jnp.asarray(rng.random(48) > 0.1)
+    args = (jnp.float32(0.85), jnp.float32(-0.4),
+            jnp.float32(-8.0), jnp.float32(8.0))
+    got = raytrace_update_block_sharded(mesh, grid, origin, hits, ok, *args,
+                                        max_steps=96)
+    assert got.sharding.spec == jax.sharding.PartitionSpec("d", None)
+    want = raytrace_update(grid_host, origin, hits, ok, *args, max_steps=96)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
 def test_graft_entry_compiles():
     mod = _graft()
     fn, args = mod.entry()
