@@ -147,6 +147,8 @@ class SlamEngine:
         self._lc_verify_fn = None         # batched LC verification program
         self._ray_bound: int | None = None  # resolved max_ray_cells
         self._warned_truncate = False
+        self._live_view = None            # interactive window (if display)
+        self._live_view_failed = False
 
     # ── ray bound (max_ray_cells: int | "auto") ──────────────────────────
     def _resolve_ray_bound(self, first_points: np.ndarray) -> int:
@@ -553,19 +555,44 @@ class SlamEngine:
             self.mapper.log_odds = self._state.log_odds
 
     def maybe_snapshot(self):
-        """Headless 'live map': write a PNG snapshot every
-        cfg.snapshot_every processed scans (replaces the reference's
-        interactive PyVista window, slam.py:416-452,622-639)."""
+        """Live map (reference slam.py:416-452,622-639): an interactive
+        matplotlib window when a display is available, otherwise periodic
+        PNG snapshots. Both refresh every cfg.snapshot_every processed
+        scans — reading the map costs a device pull, so refreshing every
+        scan would serialize the fused batched stepping."""
         cfg = self.cfg
         if not cfg.live_map or self.mapper is None:
             return None
         self._drain_pending()
         if self.stats.scans == 0 or self.stats.scans % cfg.snapshot_every:
             return None
-        import os
-        os.makedirs(cfg.snapshot_dir, exist_ok=True)
         self.sync_map()
         traj = np.array([[p[0, 2], p[1, 2]] for p in self.pose_trajectory])
+
+        from icp_tpu.utils.liveview import LiveMapView
+        if not self._live_view_failed and (
+            self._live_view is not None or LiveMapView.available()
+        ):
+            try:
+                if self._live_view is None:
+                    self._live_view = LiveMapView(
+                        self.mapper,
+                        window_width=cfg.window_width,
+                        window_height=cfg.window_height,
+                        cmap=cfg.cmap, clim_min=cfg.clim_min,
+                        clim_max=cfg.clim_max, background=cfg.background,
+                        trajectory_color=cfg.trajectory_color,
+                        pose_color=cfg.pose_color, pose_size=cfg.pose_size,
+                    )
+                self._live_view.update(traj)
+                return None
+            except Exception:
+                # window died (user closed it / backend error): fall back
+                self._live_view = None
+                self._live_view_failed = True
+
+        import os
+        os.makedirs(cfg.snapshot_dir, exist_ok=True)
         path = os.path.join(cfg.snapshot_dir,
                             f"map_{self.stats.scans:05d}.png")
         self.mapper.save_png(path, trajectory=traj)

@@ -106,11 +106,21 @@ class SlamConfig:
     out_csv: str = "tmp/occupancy_grid.csv"
     out_npy: str = "tmp/occupancy_grid.npy"
 
-    # display (headless in the TPU build: live_map=true writes periodic PNG
-    # snapshots instead of opening a window)
+    # display: live_map=true opens an interactive matplotlib window when a
+    # display is available (reference slam.py:416-452 PyVista window), and
+    # falls back to periodic PNG snapshots when headless
     live_map: bool = False
     snapshot_every: int = 25
     snapshot_dir: str = "tmp/live"
+    window_width: int = 1400
+    window_height: int = 1000
+    cmap: str = "gray"
+    clim_min: float = 0.0
+    clim_max: float = 1.0
+    background: str = "black"
+    trajectory_color: str = "cyan"
+    pose_color: str = "lime"
+    pose_size: int = 12
 
     # tpu-specific
     scan_capacity: int = 1024
@@ -217,6 +227,15 @@ class SlamConfig:
         c.live_map = _get(cfg, "display", "live_map", False)
         c.snapshot_every = _get(cfg, "display", "snapshot_every", 25)
         c.snapshot_dir = _get(cfg, "display", "snapshot_dir", "tmp/live")
+        c.window_width = _get(cfg, "display", "window_width", 1400)
+        c.window_height = _get(cfg, "display", "window_height", 1000)
+        c.cmap = _get(cfg, "display", "cmap", "gray")
+        c.clim_min = _get(cfg, "display", "clim_min", 0.0)
+        c.clim_max = _get(cfg, "display", "clim_max", 1.0)
+        c.background = _get(cfg, "display", "background", "black")
+        c.trajectory_color = _get(cfg, "display", "trajectory_color", "cyan")
+        c.pose_color = _get(cfg, "display", "pose_color", "lime")
+        c.pose_size = _get(cfg, "display", "pose_size", 12)
 
         t = cfg.get("tpu") or {}
         c.scan_capacity = t.get("scan_capacity", 1024)

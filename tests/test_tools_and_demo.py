@@ -86,3 +86,63 @@ def test_teapot_demo_runs():
     r = _run(["demos/teapot_icp_demo.py"])
     assert r.returncode == 0, r.stdout[-800:] + r.stderr[-500:]
     assert "PASS" in r.stdout
+
+
+def test_live_map_view_headless():
+    """LiveMapView renders under the Agg backend (window plumbing without a
+    display): image/trajectory/pose artists update and zoom keys rescale."""
+    import matplotlib
+    matplotlib.use("Agg", force=True)
+    from icp_tpu.models.occupancy import OccupancyGrid2D
+    from icp_tpu.utils.liveview import LiveMapView
+
+    mapper = OccupancyGrid2D(-5, 5, -5, 5, 0.1)
+    origin = np.zeros(2, np.float32)
+    ang = np.linspace(0, 2 * np.pi, 90, endpoint=False)
+    hits = np.stack([3 * np.cos(ang), 3 * np.sin(ang)], 1).astype(np.float32)
+    mapper.update_scan(origin, hits)
+
+    view = LiveMapView(mapper, window_width=400, window_height=300,
+                       background="white", trajectory_color="red")
+    traj = np.array([[0.0, 0.0], [0.5, 0.1], [1.0, 0.3]])
+    view.update(traj)
+    assert view.img.get_array().shape == (mapper.ny, mapper.nx)
+    np.testing.assert_allclose(view.traj_line.get_xdata(), traj[:, 0])
+    x0 = view.ax.get_xlim()
+
+    class _Ev:
+        key = "+"
+    view._on_key(_Ev())
+    x1 = view.ax.get_xlim()
+    assert (x1[1] - x1[0]) < (x0[1] - x0[0])      # zoomed in
+    view.close()
+
+
+def test_engine_snapshot_fallback(tmp_path):
+    """Headless live_map=true writes PNG snapshots via maybe_snapshot."""
+    import matplotlib
+    matplotlib.use("Agg", force=True)
+    from icp_tpu.utils.config import SlamConfig
+    from icp_tpu.engine import SlamEngine
+
+    cfg = SlamConfig.from_dict({
+        "icp": {"method": "point_to_point", "voxel_size": 0.1,
+                "max_iterations": 20},
+        "features": {"method": "none"},
+        "submap": {"enabled": False},
+        "loop_closure": {"enabled": False},
+        "mapping": {"resolution": 0.1, "margin": 5.0},
+        "display": {"live_map": True, "snapshot_every": 2,
+                    "snapshot_dir": str(tmp_path / "live")},
+        "tpu": {"scan_capacity": 256, "batch_scans": 1, "fused": False},
+    })
+    engine = SlamEngine(cfg, verbose=False)
+    rng = np.random.default_rng(0)
+    ang = np.linspace(0, 2 * np.pi, 180, endpoint=False)
+    for k in range(4):
+        pts = np.stack([4 * np.cos(ang), 4 * np.sin(ang)], 1)
+        pts += rng.normal(scale=0.005, size=pts.shape)
+        engine.process_scan(pts.astype(np.float32), rel_time_us=k * 1000)
+        engine.maybe_snapshot()
+    snaps = list((tmp_path / "live").glob("*.png"))
+    assert snaps, "expected PNG snapshots in headless live_map mode"
