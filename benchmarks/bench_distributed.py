@@ -99,6 +99,30 @@ def main():
         print(f"mesh={nd}: GN-CG step {dt*1000:.1f} ms "
               f"({E} edges, {n_nodes} nodes)", file=sys.stderr)
 
+    # Schur-complement reduction (exact solve) at a size where dense
+    # per-device interior elimination fits: n/D interior nodes -> (3n/D)^2
+    # local factorization. Uses the full mesh.
+    from icp_tpu.parallel.dist_pose_graph import (
+        partition_graph, gn_step_schur_sharded,
+    )
+    n_schur = min(n_nodes, int(os.environ.get("BENCH_PG_SCHUR_NODES", 4096)))
+    nodes_s, ei_s, ej_s, z_s, om_s = build_graph(n_schur)
+    mesh = make_mesh(n_dev_avail)
+    part = partition_graph(n_schur, ei_s, ej_s, z_s, om_s,
+                           np.ones(len(ei_s), bool), n_dev_avail, 0)
+    sargs = (jnp.asarray(nodes_s), jnp.ones(n_schur, bool))
+    schur_fn = jax.jit(lambda nd, nm: gn_step_schur_sharded(mesh, nd, nm, part))
+    out = schur_fn(*sargs)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = schur_fn(*sargs)
+    jax.block_until_ready(out)
+    dt_schur = (time.perf_counter() - t0) / 5
+    print(f"mesh={n_dev_avail}: Schur exact GN step {dt_schur*1000:.1f} ms "
+          f"({n_schur} nodes, {len(part.sep_ids)} separators)",
+          file=sys.stderr)
+
     base = results[sizes[0]]
     eff = {}
     for nd in sizes[1:]:
@@ -111,6 +135,9 @@ def main():
         "n_nodes": n_nodes,
         "n_devices": largest,
         "scaling_efficiency": {str(k): round(v, 3) for k, v in eff.items()},
+        "schur_exact_step_ms": round(dt_schur * 1000, 2),
+        "schur_nodes": n_schur,
+        "schur_separators": int(len(part.sep_ids)),
         "backend": jax.default_backend(),
     }))
 

@@ -14,11 +14,24 @@ Two solve strategies:
   where each Hx product is an edge gather/compute/scatter on the local
   shard followed by a psum. Never materializes H; scales to 50k+ keyframes
   (BASELINE.json config #5).
+* ``gn_step_schur_sharded`` — EXACT distributed solve via Schur-complement
+  reduction (the BASELINE.json north-star pattern): keyframes are sharded
+  in contiguous chunks; the separator set is the endpoints of cross-chunk
+  edges (plus the anchor). Each device densely eliminates its interior
+  block H_II locally, the reduced separator system
+  S = H_SS - H_SI H_II^-1 H_IS is psum-combined over ICI and solved
+  replicated (3s x 3s, s = #separators, small for SLAM graphs where cross
+  edges are chain links + loop closures), and interiors back-substitute
+  locally. One GN step = one local dense factorization + ONE psum round —
+  exact (matches the dense solve to solver precision), D x the dense
+  path's memory/compute capacity, no iteration-count tuning like CG.
 """
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -171,3 +184,177 @@ def gn_step_cg_sharded(mesh: Mesh, nodes, node_mask, ei, ej, z, omega,
         return _apply_update(nd, nm, dx)
 
     return _step(nodes, node_mask, ei, ej, z, omega, edge_mask, fix_node)
+
+
+class SchurPartition(NamedTuple):
+    """Host-computed graph partition for ``gn_step_schur_sharded``.
+
+    Keyframes split into ``n_dev`` contiguous chunks; separators are the
+    endpoints of cross-chunk edges plus the anchor node. Edges are
+    re-bucketed so every edge lives on the device owning its interior
+    endpoint (separator-separator edges go to the first endpoint's chunk),
+    which makes each device's interior Hessian block complete locally.
+    All (D, ...) arrays are padded to uniform per-device capacities.
+    """
+    int_ids: np.ndarray    # (D, i_cap) int32 global ids, n = padding
+    int_valid: np.ndarray  # (D, i_cap) bool
+    sep_ids: np.ndarray    # (s,) int32 global separator ids
+    lei: np.ndarray        # (D, e_cap) int32 global i endpoint
+    lej: np.ndarray        # (D, e_cap) int32 global j endpoint
+    lei_loc: np.ndarray    # (D, e_cap) int32 unified local index of i
+    lej_loc: np.ndarray    # (D, e_cap) int32 unified local index of j
+    z: np.ndarray          # (D, e_cap, 3)
+    omega: np.ndarray      # (D, e_cap, 3, 3)
+    edge_mask: np.ndarray  # (D, e_cap) bool
+    fix_sep_pos: int       # anchor's position in sep_ids
+
+
+def partition_graph(n: int, ei, ej, z, omega, edge_mask, n_dev: int,
+                    fix_node: int) -> SchurPartition:
+    """Partition a pose graph for the distributed Schur solve (host side,
+    NumPy; runs once per optimize call, not per GN iteration)."""
+    ei = np.asarray(ei, np.int64)
+    ej = np.asarray(ej, np.int64)
+    em = np.asarray(edge_mask, bool)
+    z = np.asarray(z, np.float32)
+    om = np.asarray(omega, np.float32)
+
+    chunk = -(-n // n_dev)                       # ceil
+    dev_of = np.minimum(np.arange(n) // chunk, n_dev - 1)
+
+    cross = em & (dev_of[ei] != dev_of[ej])
+    sep = np.unique(np.concatenate(
+        [ei[cross], ej[cross], np.array([fix_node], np.int64)]))
+    sep_pos = np.full(n, -1, np.int64)
+    sep_pos[sep] = np.arange(len(sep))
+    is_sep = sep_pos >= 0
+
+    int_lists = []
+    int_pos = np.full(n, -1, np.int64)           # position in OWN device list
+    for d in range(n_dev):
+        ids = np.where((dev_of == d) & ~is_sep)[0]
+        int_pos[ids] = np.arange(len(ids))
+        int_lists.append(ids)
+    i_cap = max(1, max(len(x) for x in int_lists))
+    int_ids = np.full((n_dev, i_cap), n, np.int32)
+    int_valid = np.zeros((n_dev, i_cap), bool)
+    for d, ids in enumerate(int_lists):
+        int_ids[d, :len(ids)] = ids
+        int_valid[d, :len(ids)] = True
+
+    # edge -> device of its interior endpoint (sep-sep: first endpoint)
+    e_dev = np.where(~is_sep[ei], dev_of[ei],
+                     np.where(~is_sep[ej], dev_of[ej], dev_of[ei]))
+
+    def uloc(node):
+        return np.where(is_sep[node], i_cap + sep_pos[node], int_pos[node])
+
+    buckets = [np.where(em & (e_dev == d))[0] for d in range(n_dev)]
+    e_cap = max(1, max(len(b) for b in buckets))
+    L = lambda shape, fill, dt: np.full(shape, fill, dt)
+    lei = L((n_dev, e_cap), 0, np.int32)
+    lej = L((n_dev, e_cap), 0, np.int32)
+    lei_loc = L((n_dev, e_cap), 0, np.int32)
+    lej_loc = L((n_dev, e_cap), 0, np.int32)
+    lz = np.zeros((n_dev, e_cap, 3), np.float32)
+    lom = np.zeros((n_dev, e_cap, 3, 3), np.float32)
+    lem = np.zeros((n_dev, e_cap), bool)
+    for d, b in enumerate(buckets):
+        k = len(b)
+        lei[d, :k] = ei[b]
+        lej[d, :k] = ej[b]
+        lei_loc[d, :k] = uloc(ei[b])
+        lej_loc[d, :k] = uloc(ej[b])
+        lz[d, :k] = z[b]
+        lom[d, :k] = om[b]
+        lem[d, :k] = True
+
+    return SchurPartition(int_ids, int_valid, sep.astype(np.int32),
+                          lei, lej, lei_loc, lej_loc, lz, lom, lem,
+                          int(sep_pos[fix_node]))
+
+
+def gn_step_schur_sharded(mesh: Mesh, nodes, node_mask,
+                          part: SchurPartition, *, axis: str = "d"):
+    """One EXACT GN step via distributed Schur-complement reduction.
+
+    Per device: assemble the local (interior + separator) normal-equation
+    blocks from its edge bucket, factor H_II once against [H_IS | b_I]
+    (so back-substitution is a matmul, not a second solve), psum the
+    reduced separator system, solve it replicated, back-substitute.
+    Matches the reference dense iteration
+    (/root/reference/utilities/pose_graph.py:92-127) exactly on the same
+    graph. Returns updated replicated nodes.
+    """
+    n = nodes.shape[0]
+    i_cap = part.int_ids.shape[1]
+    s = len(part.sep_ids)
+    nl = i_cap + s
+    k = 3 * i_cap
+    fix_sep = part.fix_sep_pos
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(),
+                  P(axis), P(axis), P(),
+                  P(axis), P(axis), P(axis), P(axis),
+                  P(axis), P(axis), P(axis)),
+        out_specs=P(),
+    )
+    def _step(nd, nm, int_ids, int_valid, sep_ids,
+              lei, lej, lei_loc, lej_loc, lz, lom, lem):
+        int_ids, int_valid = int_ids[0], int_valid[0]
+        lei, lej = lei[0], lej[0]
+        lei_loc, lej_loc = lei_loc[0], lej_loc[0]
+        lz, lom, lem = lz[0], lom[0], lem[0]
+
+        e, A, B = edge_terms(nd, lei, lej, lz, lom, lem)
+        blocks = _block_products(e, A, B, lom, lem)
+        H, b = _scatter_dense(nl, lei_loc, lej_loc, *blocks)
+
+        # interior regularization: padded slots and invalid nodes get an
+        # identity diagonal (their rhs is zero, so their dx is zero)
+        nm_pad = jnp.concatenate([nm, jnp.zeros(1, bool)])   # id n = padding
+        int_reg = jnp.logical_not(int_valid & nm_pad[int_ids])
+        diag = jnp.zeros(3 * nl, H.dtype).at[:k].set(jnp.repeat(int_reg, 3))
+        H = H + jnp.diag(diag)
+
+        H_II = H[:k, :k]
+        H_IS = H[:k, k:]
+        H_SS = H[k:, k:]
+        b_I = b[:k]
+        b_S = b[k:]
+
+        # one factorization serves reduction AND back-substitution
+        X = jnp.linalg.solve(H_II, jnp.concatenate([H_IS, b_I[:, None]], 1))
+        X_IS, x_b = X[:, :-1], X[:, -1]
+        S = lax.psum(H_SS - H_IS.T @ X_IS, axis)
+        r = lax.psum(b_S - H_IS.T @ x_b, axis)
+
+        # anchor clamp on the reduced system (reference :109-114 semantics)
+        a = (jnp.arange(3 * s) // 3) == fix_sep
+        sep_bad = jnp.repeat(jnp.logical_not(nm[sep_ids]), 3)
+        S = jnp.where(a[:, None] | a[None, :], 0.0, S)
+        S = S + jnp.diag(jnp.where(a, ANCHOR_WEIGHT, 0.0)
+                         + jnp.where(sep_bad, 1.0, 0.0))
+        r = jnp.where(a, 0.0, r)
+
+        dx_S = jnp.linalg.solve(S, -r)
+        dx_I = -(X_IS @ dx_S + x_b)                 # = H_II^-1(-b_I - H_IS dx_S)
+
+        dx = jnp.zeros((n + 1, 3), nd.dtype)
+        dx = dx.at[int_ids].add(
+            dx_I.reshape(i_cap, 3) * int_valid[:, None])
+        dx = lax.psum(dx, axis)
+        dx = dx.at[sep_ids].set(dx_S.reshape(s, 3))
+        dx = dx[:n].reshape(-1)
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+        return _apply_update(nd, nm, dx)
+
+    return _step(nodes, node_mask,
+                 jnp.asarray(part.int_ids), jnp.asarray(part.int_valid),
+                 jnp.asarray(part.sep_ids),
+                 jnp.asarray(part.lei), jnp.asarray(part.lej),
+                 jnp.asarray(part.lei_loc), jnp.asarray(part.lej_loc),
+                 jnp.asarray(part.z), jnp.asarray(part.omega),
+                 jnp.asarray(part.edge_mask))

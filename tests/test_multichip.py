@@ -93,6 +93,40 @@ def test_raytrace_sharded_matches_single():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+def test_gn_schur_matches_dense_single_step():
+    """Distributed Schur-complement reduction is EXACT: one step matches
+    the dense reference iteration, including loop-closure cross edges and
+    padded/masked edges."""
+    from icp_tpu.parallel.dist_pose_graph import (
+        partition_graph, gn_step_schur_sharded,
+    )
+    rng = np.random.default_rng(5)
+    n = 40
+    # odometry chain + 3 loop closures spanning chunks + 2 masked edges
+    ei_l = list(range(n - 1)) + [2, 11, 5] + [0, 0]
+    ej_l = list(range(1, n)) + [31, 38, 22] + [1, 2]
+    E = len(ei_l)
+    nodes = jnp.asarray(
+        np.cumsum(rng.normal(scale=0.2, size=(n, 3)), 0), jnp.float32)
+    nm = jnp.ones(n, bool)
+    z = jnp.asarray(rng.normal(scale=0.1, size=(E, 3)), jnp.float32)
+    om_np = rng.normal(size=(E, 3, 3)).astype(np.float32)
+    om_np = om_np @ om_np.transpose(0, 2, 1) + 3 * np.eye(3, dtype=np.float32)
+    om = jnp.asarray(om_np)
+    em = jnp.asarray([True] * (E - 2) + [False, False])
+    ei = jnp.asarray(ei_l, jnp.int32)
+    ej = jnp.asarray(ej_l, jnp.int32)
+
+    mesh = make_mesh(8)
+    part = partition_graph(n, ei, ej, z, om, em, 8, fix_node=0)
+    assert part.sep_ids.size < n          # separator is a strict subset
+    got = gn_step_schur_sharded(mesh, nodes, nm, part)
+    want, _ = optimize_dense(nodes, nm, ei, ej, z, om, em, jnp.int32(0),
+                             n_iterations=1, convergence_eps=0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_raytrace_block_sharded_matches_single():
     """Grid-block (row) sharded map update == single-device full-grid
     update; the log-odds array stays sharded in and out."""
