@@ -358,3 +358,27 @@ def gn_step_schur_sharded(mesh: Mesh, nodes, node_mask,
                  jnp.asarray(part.lei_loc), jnp.asarray(part.lej_loc),
                  jnp.asarray(part.z), jnp.asarray(part.omega),
                  jnp.asarray(part.edge_mask))
+
+
+def optimize_schur(mesh: Mesh, nodes, node_mask, part: SchurPartition, *,
+                   n_iterations: int = 20, convergence_eps=1e-6,
+                   axis: str = "d"):
+    """Full Gauss-Newton optimize via the distributed Schur step.
+
+    The partition depends only on graph TOPOLOGY (edges/chunks), not poses,
+    so one ``partition_graph`` call serves every iteration. Convergence
+    semantics mirror the reference (stop when ||dx|| < eps,
+    /root/reference/utilities/pose_graph.py:129-132), checked on host
+    between device steps. Returns (nodes, iters_run).
+    """
+    step = jax.jit(
+        lambda nd, nm: gn_step_schur_sharded(mesh, nd, nm, part, axis=axis))
+    it = 0
+    for it in range(1, n_iterations + 1):
+        new = step(nodes, node_mask)
+        dn = float(jnp.linalg.norm(
+            jnp.where(node_mask[:, None], new - nodes, 0.0)))
+        nodes = new
+        if dn < convergence_eps:
+            break
+    return nodes, it

@@ -165,3 +165,20 @@ def test_graft_entry_compiles():
 def test_graft_dryrun_multichip():
     mod = _graft()
     mod.dryrun_multichip(8)
+
+
+def test_optimize_schur_converges_like_dense():
+    """Multi-iteration Schur GN reaches the dense optimizer's fixed point."""
+    from icp_tpu.parallel.dist_pose_graph import (
+        partition_graph, optimize_schur,
+    )
+    rng = np.random.default_rng(6)
+    nodes, nm, ei, ej, z, om, em = _graph(rng, n_nodes=24, per_dev=4)
+    mesh = make_mesh(8)
+    part = partition_graph(24, ei, ej, z, om, em, 8, fix_node=0)
+    got, it_s = optimize_schur(mesh, nodes, nm, part, n_iterations=20)
+    want, _ = optimize_dense(nodes, nm, ei, ej, z, om, em, jnp.int32(0),
+                             n_iterations=20)
+    assert it_s <= 20
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=1e-4)
