@@ -533,6 +533,7 @@ class SlamEngine:
             log_odds_min=m.log_odds_min, log_odds_max=m.log_odds_max,
             max_ray_cells=m.max_ray_cells,
             free_cells_cap=m.free_cells_cap,
+            batched_map=bool(cfg.batched_map) and cfg.batch_scans > 1,
         )
         sp, sm = _pad_fixed(first_points, self._cap)
         self._state = init_state(sp, sm, m.log_odds,

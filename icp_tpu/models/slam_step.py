@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from icp_tpu.models.icp import icp_core
 from icp_tpu.models.prealign import rotation_search, submap_rotation_search
-from icp_tpu.ops.raytrace import raytrace_update
+from icp_tpu.ops.raytrace import raytrace_update, raytrace_update_batched
 from icp_tpu.ops.voxel import voxel_downsample, voxel_downsample_fixed
 from icp_tpu.utils import se2
 
@@ -118,13 +118,24 @@ def make_slam_step(
     log_odds_max: float,
     max_ray_cells: int,
     free_cells_cap: int | None = None,
+    batched_map: bool = False,
 ):
-    """Build the fused jitted step for a fixed configuration + grid."""
+    """Build the fused jitted step for a fixed configuration + grid.
+
+    ``batched_map``: the single-scan ``step`` always paints the map
+    per scan; when True, ``batch`` instead skips the in-scan raytrace and
+    applies ONE deduplicated whole-batch map update afterwards
+    (ops/raytrace.raytrace_update_batched) — consecutive scans' free-space
+    regions overlap almost entirely, so this replaces B large scatters
+    with one sort + one unique-cell scatter. Clamping then happens once
+    per batch (see raytrace_update_batched's docstring for why that is
+    the only semantic difference and why it is immaterial)."""
 
     inv_res = 1.0 / grid_resolution
     grid_min = np.array([grid_min_x, grid_min_y], np.float32)
 
-    def step(state: SlamState, cur_pts, cur_mask, imu_delta, imu_yaw):
+    def step(state: SlamState, cur_pts, cur_mask, imu_delta, imu_yaw,
+             paint_map: bool = True):
         # ── Step 1: scan-to-scan odometry (slam.py:465-483) ──────────────
         if use_imu:
             R0 = se2.rotmat(imu_delta)
@@ -209,17 +220,20 @@ def make_slam_step(
 
         # ── map update (slam.py:551-557) ────────────────────────────────
         gp = se2.transform_points(cur_pts, new_pose)
-        eff_mask = cur_mask & accepted
-        origin_cell = jnp.floor(
-            (new_pose[:2, 2] - grid_min) * inv_res
-        ).astype(jnp.int32)
-        hit_cells = jnp.floor((gp - grid_min) * inv_res).astype(jnp.int32)
-        log_odds = raytrace_update(
-            state.log_odds, origin_cell, hit_cells, eff_mask,
-            jnp.float32(l_hit), jnp.float32(l_miss),
-            jnp.float32(log_odds_min), jnp.float32(log_odds_max),
-            max_steps=max_ray_cells, free_cap=free_cells_cap,
-        )
+        if paint_map:
+            eff_mask = cur_mask & accepted
+            origin_cell = jnp.floor(
+                (new_pose[:2, 2] - grid_min) * inv_res
+            ).astype(jnp.int32)
+            hit_cells = jnp.floor((gp - grid_min) * inv_res).astype(jnp.int32)
+            log_odds = raytrace_update(
+                state.log_odds, origin_cell, hit_cells, eff_mask,
+                jnp.float32(l_hit), jnp.float32(l_miss),
+                jnp.float32(log_odds_min), jnp.float32(log_odds_max),
+                max_steps=max_ray_cells, free_cap=free_cells_cap,
+            )
+        else:
+            log_odds = state.log_odds     # painted once per batch, below
 
         # ── submap ring push (slam.py:559-562) ──────────────────────────
         K = state.ring_pts.shape[0]
@@ -259,10 +273,27 @@ def make_slam_step(
         amortizes the host<->device round trip that dominates when the TPU
         is attached over a network tunnel.
         """
-        return jax.lax.scan(
-            lambda st, xs: step(st, xs[0], xs[1], xs[2], xs[3]),
+        new_state, outs = jax.lax.scan(
+            lambda st, xs: step(st, xs[0], xs[1], xs[2], xs[3],
+                                paint_map=not batched_map),
             state, (scans, masks, imu_deltas, imu_yaws),
         )
+        if batched_map:
+            R = outs.pose[:, :2, :2]                     # (B, 2, 2)
+            t = outs.pose[:, :2, 2]                      # (B, 2)
+            gp = jnp.einsum("bni,bji->bnj", scans, R) + t[:, None, :]
+            eff = masks & outs.accepted[:, None]
+            origin_cells = jnp.floor(
+                (t - grid_min) * inv_res).astype(jnp.int32)
+            hit_cells = jnp.floor((gp - grid_min) * inv_res).astype(jnp.int32)
+            log_odds = raytrace_update_batched(
+                new_state.log_odds, origin_cells, hit_cells, eff,
+                jnp.float32(l_hit), jnp.float32(l_miss),
+                jnp.float32(log_odds_min), jnp.float32(log_odds_max),
+                max_steps=max_ray_cells, unique_cap=free_cells_cap,
+            )
+            new_state = new_state._replace(log_odds=log_odds)
+        return new_state, outs
 
     return jax.jit(step, donate_argnums=(0,)), jax.jit(
         batch, donate_argnums=(0,)

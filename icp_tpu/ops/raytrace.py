@@ -27,24 +27,10 @@ from jax import lax
 
 
 @partial(jax.jit, static_argnames=("max_steps",))
-def bresenham_cells(origin_cell, end_cells, valid, *, max_steps: int):
-    """All free-space cells along Bresenham rays origin -> each endpoint.
-
-    origin_cell: (2,) int32 (ix, iy); end_cells: (N, 2) int32; valid: (N,).
-    Returns (cells (S, N, 2) int32, active (S, N) bool) — emitted
-    (pre-endpoint) cells, exactly the reference's `_bresenham` list.
-
-    Closed form, no sequential loop: the reference's integer Bresenham
-    (diagonal-step variant, mapping.py:68-89) advances the major axis every
-    iteration and the minor axis whenever 2*err crosses the threshold;
-    solving the err recurrence gives, after s iterations,
-
-        minor_steps(s) = max(0, (2*s*m + M - 1) // (2*M))
-
-    with M = max(|dx|, |dy|), m = min(|dx|, |dy|). Verified exhaustively
-    against the loop (tests/test_raytrace.py). This turns an O(max_steps)
-    lax.scan of tiny VPU ops into one broadcasted (S, N) computation.
-    """
+def bresenham_cells_xy(origin_cell, end_cells, valid, *, max_steps: int):
+    """Like ``bresenham_cells`` but returns (x (S, N), y (S, N), active)
+    as separate planes — the layout-safe form for large batched callers
+    (a stacked (..., 2) trailing dim lane-pads 2 -> 128 on TPU)."""
     x0 = origin_cell[0]
     y0 = origin_cell[1]
     x1 = end_cells[:, 0]
@@ -66,9 +52,32 @@ def bresenham_cells(origin_cell, end_cells, valid, *, max_steps: int):
     x_major = dx >= dy
     x = x0 + sx[None, :] * jnp.where(x_major[None, :], major, minor)
     y = y0 + sy[None, :] * jnp.where(x_major[None, :], minor, major)
-    cells = jnp.stack([x, y], axis=-1)                      # (S, N, 2)
     active = valid[None, :] & (s < M[None, :])
-    return cells, active
+    return x, y, active
+
+
+@partial(jax.jit, static_argnames=("max_steps",))
+def bresenham_cells(origin_cell, end_cells, valid, *, max_steps: int):
+    """All free-space cells along Bresenham rays origin -> each endpoint.
+
+    origin_cell: (2,) int32 (ix, iy); end_cells: (N, 2) int32; valid: (N,).
+    Returns (cells (S, N, 2) int32, active (S, N) bool) — emitted
+    (pre-endpoint) cells, exactly the reference's `_bresenham` list.
+
+    Closed form, no sequential loop: the reference's integer Bresenham
+    (diagonal-step variant, mapping.py:68-89) advances the major axis every
+    iteration and the minor axis whenever 2*err crosses the threshold;
+    solving the err recurrence gives, after s iterations,
+
+        minor_steps(s) = max(0, (2*s*m + M - 1) // (2*M))
+
+    with M = max(|dx|, |dy|), m = min(|dx|, |dy|). Verified exhaustively
+    against the loop (tests/test_raytrace.py). This turns an O(max_steps)
+    lax.scan of tiny VPU ops into one broadcasted (S, N) computation.
+    """
+    x, y, active = bresenham_cells_xy(origin_cell, end_cells, valid,
+                                      max_steps=max_steps)
+    return jnp.stack([x, y], axis=-1), active
 
 
 def _scatter_free(n_flat, key, in_b, l_miss, dtype, free_cap):
@@ -167,3 +176,90 @@ def raytrace_update(
             ).reshape(ny, nx)
 
     return jnp.clip(log_odds, lo_min, lo_max)
+
+
+@partial(jax.jit, static_argnames=("max_steps", "unique_cap"))
+def raytrace_update_batched(
+    log_odds, origin_cells, hit_cells, valid,
+    l_hit, l_miss, lo_min, lo_max,
+    *, max_steps: int, unique_cap: int | None = None,
+):
+    """A whole BATCH of scans' occupancy updates in one pass.
+
+    origin_cells: (B, 2) int32; hit_cells: (B, N, 2); valid: (B, N).
+
+    Consecutive scans' free-space regions overlap almost entirely (the
+    sensor moves a few cells per scan), so instead of B scatter passes of
+    ~free_cap slots each (scatter-add costs ~10 ns/slot regardless of
+    values — tools/profile_scatter.py), the batch's free cells are sorted
+    once, run-length encoded, and each UNIQUE cell is scattered exactly
+    once with value count*l_miss. Sum-equivalence is exact (all addends
+    equal); the one semantic deviation vs per-scan updates is that the
+    log-odds clamp applies once per batch instead of after every scan,
+    which can only differ for cells that both saturate a bound AND receive
+    opposite-sign updates within the same batch (hit+miss mid-batch) —
+    measure-zero in practice and irrelevant to the trajectory (the map
+    never feeds back into registration). Reference semantics:
+    OccupancyGrid2D.update_scan (/root/reference/utilities/mapping.py:
+    103-141) applied B times.
+
+    If the number of unique cells overflows ``unique_cap``, a lax.cond
+    falls back to the exact full scatter — a perf knob, never correctness.
+    """
+    ny, nx = log_odds.shape
+    flat = log_odds.reshape(-1)
+    n_flat = ny * nx
+
+    # hits: small (B*N), scatter directly with duplicates
+    hx = hit_cells[..., 0].reshape(-1)
+    hy = hit_cells[..., 1].reshape(-1)
+    hit_in = (valid.reshape(-1) & (hx >= 0) & (hx < nx)
+              & (hy >= 0) & (hy < ny))
+    hkey = jnp.where(hit_in, hy * nx + hx, n_flat).astype(jnp.int32)
+    flat = flat.at[hkey].add(jnp.where(hit_in, l_hit, 0.0), mode="drop")
+
+    # free cells: batched closed-form Bresenham (separate x/y planes —
+    # a (B, S, N, 2) stack would lane-pad 2 -> 128)
+    x, y, active = jax.vmap(
+        lambda o, h, v: bresenham_cells_xy(o, h, v, max_steps=max_steps)
+    )(origin_cells, hit_cells, valid)
+    fx = x.reshape(-1)
+    fy = y.reshape(-1)
+    act = (active.reshape(-1) & (fx >= 0) & (fx < nx)
+           & (fy >= 0) & (fy < ny))
+    key = jnp.where(act, fy * nx + fx, n_flat).astype(jnp.int32)
+    n = key.size
+
+    if unique_cap is None or unique_cap >= n:
+        flat = flat.at[key].add(jnp.where(key < n_flat, l_miss, 0.0),
+                                mode="drop")
+        return jnp.clip(flat.reshape(ny, nx), lo_min, lo_max)
+
+    sk = lax.sort(key, is_stable=False)
+    n_act = jnp.sum(act).astype(jnp.int32)
+    prev = jnp.concatenate([jnp.full((1,), -1, sk.dtype), sk[:-1]])
+    newseg = (sk != prev) & (sk < n_flat)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # next segment start at-or-after each position (reverse running min)
+    bpos = jnp.where(newseg, idx, n)
+    nxt = lax.cummin(bpos[::-1])[::-1]
+    nxt1 = jnp.concatenate([nxt[1:], jnp.full((1,), n, jnp.int32)])
+    cnt = jnp.maximum(jnp.minimum(nxt1, n_act) - idx, 0)  # run length at seg starts
+
+    k2 = jnp.where(newseg, sk, jnp.int32(n_flat))
+    k2s, cnts = lax.sort((k2, cnt), num_keys=1)
+    k2s = k2s[:unique_cap]
+    cnts = cnts[:unique_cap]
+    n_seg = jnp.sum(newseg)
+
+    def compact(f):
+        return f.at[k2s].add(
+            jnp.where(k2s < n_flat, cnts.astype(f.dtype) * l_miss, 0.0),
+            mode="drop")
+
+    def full(f):
+        return f.at[key].add(jnp.where(key < n_flat, l_miss, 0.0),
+                             mode="drop")
+
+    flat = lax.cond(n_seg <= unique_cap, compact, full, flat)
+    return jnp.clip(flat.reshape(ny, nx), lo_min, lo_max)

@@ -138,6 +138,9 @@ class SlamConfig:
     free_cells_cap: int | str | None = "auto"
     fused: bool = True
     batch_scans: int = 8
+    # one deduplicated map update per scan batch instead of per scan
+    # (clamp applies per batch; see ops/raytrace.raytrace_update_batched)
+    batched_map: bool = True
     # static capacities for the submap rotation-sweep scoring clouds
     # (coarse-voxelized, so far fewer valid slots than the raw capacities;
     # see prealign.submap_rotation_search). None -> derived defaults.
@@ -244,6 +247,7 @@ class SlamConfig:
         c.free_cells_cap = t.get("free_cells_cap", "auto")
         c.fused = t.get("fused", True)
         c.batch_scans = t.get("batch_scans", 8)
+        c.batched_map = t.get("batched_map", True)
         c.sweep_src_capacity = t.get("sweep_src_capacity", None)
         c.sweep_tgt_capacity = t.get("sweep_tgt_capacity", None)
         return c

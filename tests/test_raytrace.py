@@ -187,3 +187,50 @@ def test_occupancy_grid_free_cap():
         gb.update_scan(origin, hits)
     np.testing.assert_array_equal(np.asarray(ga.log_odds),
                                   np.asarray(gb.log_odds))
+
+
+def test_raytrace_batched_matches_sequential():
+    """Batch dedup update == B sequential per-scan updates when no cell
+    saturates mid-batch (wide clamp bounds)."""
+    from icp_tpu.ops.raytrace import raytrace_update, raytrace_update_batched
+    rng = np.random.default_rng(11)
+    ny, nx = 96, 80
+    B, N = 5, 64
+    grid0 = jnp.asarray(rng.normal(0, 0.2, (ny, nx)), jnp.float32)
+    origins = jnp.asarray(rng.integers(20, 60, (B, 2)), jnp.int32)
+    hits = jnp.asarray(rng.integers(-10, 100, (B, N, 2)), jnp.int32)
+    valid = jnp.asarray(rng.random((B, N)) > 0.15)
+    args = (jnp.float32(0.85), jnp.float32(-0.4),
+            jnp.float32(-1e6), jnp.float32(1e6))
+
+    seq = grid0
+    for b in range(B):
+        seq = raytrace_update(seq, origins[b], hits[b], valid[b], *args,
+                              max_steps=128)
+    for cap in (4096, 50):        # ample and overflowing (fallback path)
+        got = raytrace_update_batched(grid0, origins, hits, valid, *args,
+                                      max_steps=128, unique_cap=cap)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(seq),
+                                   rtol=1e-5, atol=1e-5)
+    got_none = raytrace_update_batched(grid0, origins, hits, valid, *args,
+                                       max_steps=128, unique_cap=None)
+    np.testing.assert_allclose(np.asarray(got_none), np.asarray(seq),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_raytrace_batched_clamps():
+    from icp_tpu.ops.raytrace import raytrace_update_batched
+    ny, nx = 32, 32
+    grid0 = jnp.zeros((ny, nx), jnp.float32)
+    B = 30                        # enough rays over one line to saturate
+    origins = jnp.tile(jnp.asarray([[2, 16]], jnp.int32), (B, 1))
+    hits = jnp.tile(jnp.asarray([[[30, 16]]], jnp.int32), (B, 1, 1))
+    valid = jnp.ones((B, 1), bool)
+    got = raytrace_update_batched(
+        grid0, origins, hits, valid,
+        jnp.float32(0.85), jnp.float32(-0.4),
+        jnp.float32(-8.0), jnp.float32(8.0), max_steps=64, unique_cap=512)
+    g = np.asarray(got)
+    assert g.min() >= -8.0 - 1e-6 and g.max() <= 8.0 + 1e-6
+    assert g[16, 30] == 8.0       # saturated hit cell
+    assert g[16, 10] == -8.0      # saturated free cell
