@@ -694,6 +694,7 @@ class SlamEngine:
             chunk_s = scans[i:i + B]
             chunk_r = rel_times[i:i + B]
             outs = self._dispatch_chunk_sync(chunk_s, chunk_r, pad_to=B)
+            self._check_sub_saturation(outs.sub_n)
             rolled_back = False
             for j in range(len(chunk_s)):
                 ok = self._bookkeep_fused(
@@ -839,12 +840,25 @@ class SlamEngine:
                 self.pose_graph.optimize(n_iterations=1)
         self.sync_map()
 
+    def _check_sub_saturation(self, sub_n) -> None:
+        """Warn (once) when the submap voxel capacity saturates — means
+        voxel_downsample_fixed may be silently truncating the submap and
+        tpu.submap_capacity should be raised."""
+        if getattr(self, "_sub_sat_warned", False):
+            return
+        if int(np.max(sub_n)) >= self._sub_cap > 0:
+            self._sub_sat_warned = True
+            print(f"  [warn] submap voxel capacity saturated "
+                  f"({self._sub_cap}); raise tpu.submap_capacity to avoid "
+                  f"truncating the submap")
+
     def _drain_pending(self) -> int:
         """Bookkeep any batches whose results are in flight."""
         accepted = 0
         while self._pending:
             scans, rel_times, outs = self._pending.pop(0)
             outs = jax.device_get(outs)
+            self._check_sub_saturation(outs.sub_n)
             for i in range(len(scans)):
                 ok = self._bookkeep_fused(
                     scans[i],
@@ -869,6 +883,7 @@ class SlamEngine:
             jnp.float32(imu_yaw if imu_yaw is not None else 0.0),
         )
         out = jax.device_get(out)          # single host sync per scan
+        self._check_sub_saturation(out.sub_n)
         self.stats.wall_registration += time.perf_counter() - t0
 
         self.prev_points = points_2d

@@ -56,6 +56,9 @@ class StepOut(NamedTuple):
     sub_applied: jax.Array   # bool — submap correction replaced the pose
     err_inc: jax.Array       # raw scan-to-scan ICP error
     iters: jax.Array         # s2s ICP iterations
+    sub_n: jax.Array         # valid submap points fed to correction
+                             # (== capacity -> capacity saturated, voxels
+                             # may have been truncated; engine warns)
 
 
 def init_state(first_scan, first_mask, log_odds, ring_k: int):
@@ -176,12 +179,14 @@ def make_slam_step(
 
         # ── Step 2: submap correction (slam.py:497-536) ─────────────────
         sub_applied = jnp.bool_(False)
+        sub_n = jnp.int32(0)
         if submap_enabled:
             flat_pts = state.ring_pts.reshape(-1, 2)
             flat_mask = state.ring_mask.reshape(-1)
             sub_pts, sub_mask = voxel_downsample_fixed(
                 flat_pts, flat_mask, submap_voxel, submap_capacity
             )
+            sub_n = jnp.sum(sub_mask).astype(jnp.int32)
             if use_imu:
                 pred = se2.make_pose(se2.rotmat(imu_yaw), new_pose[:2, 2])
                 a_range, a_step = imu_narrow, 0.5
@@ -262,6 +267,7 @@ def make_slam_step(
         out = StepOut(
             pose=new_pose, error=error, accepted=accepted,
             sub_applied=sub_applied, err_inc=err_inc, iters=res.iters,
+            sub_n=sub_n,
         )
         return new_state, out
 
@@ -291,6 +297,7 @@ def make_slam_step(
                 jnp.float32(l_hit), jnp.float32(l_miss),
                 jnp.float32(log_odds_min), jnp.float32(log_odds_max),
                 max_steps=max_ray_cells, unique_cap=free_cells_cap,
+                scan_cap=free_cells_cap,
             )
             new_state = new_state._replace(log_odds=log_odds)
         return new_state, outs

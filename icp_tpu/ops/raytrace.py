@@ -178,11 +178,12 @@ def raytrace_update(
     return jnp.clip(log_odds, lo_min, lo_max)
 
 
-@partial(jax.jit, static_argnames=("max_steps", "unique_cap"))
+@partial(jax.jit, static_argnames=("max_steps", "unique_cap", "scan_cap"))
 def raytrace_update_batched(
     log_odds, origin_cells, hit_cells, valid,
     l_hit, l_miss, lo_min, lo_max,
     *, max_steps: int, unique_cap: int | None = None,
+    scan_cap: int | None = None,
 ):
     """A whole BATCH of scans' occupancy updates in one pass.
 
@@ -203,8 +204,23 @@ def raytrace_update_batched(
     OccupancyGrid2D.update_scan (/root/reference/utilities/mapping.py:
     103-141) applied B times.
 
-    If the number of unique cells overflows ``unique_cap``, a lax.cond
-    falls back to the exact full scatter — a perf knob, never correctness.
+    Cost structure (profiled, BENCHMARKS.md): the emitted (B, S, N) cell
+    grid is ~6x padding, and multi-operand sorts / scans over it dominate
+    the whole SLAM step. So:
+
+    * ``scan_cap``: each scan's cells are first compacted by a per-scan
+      (B, S*N) sort sliced to scan_cap — the dedup then runs on
+      B*scan_cap ~= 3x fewer elements;
+    * run lengths come from POSITION DIFFERENCES of compacted segment
+      starts, not from a (key, count) pair sort + reverse cummin: two
+      single-key sorts (segment-start positions; unique keys) replace the
+      3-operand sort and the cummin entirely. Because the dedup array is
+      itself sorted, the r-th smallest start position belongs to the r-th
+      smallest unique key, so the two sorted outputs align by construction.
+
+    If any scan's active count overflows ``scan_cap``, or the unique-cell
+    count overflows ``unique_cap``, a lax.cond falls back to the exact
+    full scatter — perf knobs, never correctness.
     """
     ny, nx = log_odds.shape
     flat = log_odds.reshape(-1)
@@ -223,43 +239,63 @@ def raytrace_update_batched(
     x, y, active = jax.vmap(
         lambda o, h, v: bresenham_cells_xy(o, h, v, max_steps=max_steps)
     )(origin_cells, hit_cells, valid)
-    fx = x.reshape(-1)
-    fy = y.reshape(-1)
-    act = (active.reshape(-1) & (fx >= 0) & (fx < nx)
+    B = x.shape[0]
+    fx = x.reshape(B, -1)
+    fy = y.reshape(B, -1)
+    act = (active.reshape(B, -1) & (fx >= 0) & (fx < nx)
            & (fy >= 0) & (fy < ny))
-    key = jnp.where(act, fy * nx + fx, n_flat).astype(jnp.int32)
-    n = key.size
+    key_bn = jnp.where(act, fy * nx + fx, n_flat).astype(jnp.int32)
+    key_flat = key_bn.reshape(-1)
 
-    if unique_cap is None or unique_cap >= n:
-        flat = flat.at[key].add(jnp.where(key < n_flat, l_miss, 0.0),
-                                mode="drop")
+    if unique_cap is None or unique_cap >= key_flat.size:
+        flat = flat.at[key_flat].add(
+            jnp.where(key_flat < n_flat, l_miss, 0.0), mode="drop")
         return jnp.clip(flat.reshape(ny, nx), lo_min, lo_max)
 
+    per_scan_act = jnp.sum(act, axis=1)
+    n_act = jnp.sum(per_scan_act).astype(jnp.int32)
+    if scan_cap is not None and scan_cap < key_bn.shape[1]:
+        # stage 1: per-scan compaction (sentinels sort last, slice them off)
+        overflow1 = jnp.any(per_scan_act > scan_cap)
+        key = lax.sort(key_bn, dimension=1,
+                       is_stable=False)[:, :scan_cap].reshape(-1)
+    else:
+        overflow1 = jnp.bool_(False)
+        key = key_flat
+    n = key.size
+
     sk = lax.sort(key, is_stable=False)
-    n_act = jnp.sum(act).astype(jnp.int32)
     prev = jnp.concatenate([jnp.full((1,), -1, sk.dtype), sk[:-1]])
     newseg = (sk != prev) & (sk < n_flat)
     idx = jnp.arange(n, dtype=jnp.int32)
-    # next segment start at-or-after each position (reverse running min)
-    bpos = jnp.where(newseg, idx, n)
-    nxt = lax.cummin(bpos[::-1])[::-1]
-    nxt1 = jnp.concatenate([nxt[1:], jnp.full((1,), n, jnp.int32)])
-    cnt = jnp.maximum(jnp.minimum(nxt1, n_act) - idx, 0)  # run length at seg starts
-
-    k2 = jnp.where(newseg, sk, jnp.int32(n_flat))
-    k2s, cnts = lax.sort((k2, cnt), num_keys=1)
-    k2s = k2s[:unique_cap]
-    cnts = cnts[:unique_cap]
     n_seg = jnp.sum(newseg)
 
+    # segment-start positions, compacted by one single-key sort
+    bpos = jnp.where(newseg, idx, n).astype(jnp.int32)
+    m = min(unique_cap + 1, n)
+    pos = lax.sort(bpos, is_stable=False)[:m]
+    if m < unique_cap + 1:
+        pos = jnp.pad(pos, (0, unique_cap + 1 - m), constant_values=n)
+    # run length of segment r = pos[r+1] - pos[r], last segment ends at
+    # n_act (every position >= n_act holds a sentinel key)
+    pos_c = jnp.minimum(pos, n_act)
+    cnt_u = jnp.maximum(pos_c[1:] - pos_c[:-1], 0)
+    # unique keys, compacted by one single-key sort; aligned with pos
+    # because sk is sorted (position order == key order)
+    k2 = jnp.where(newseg, sk, jnp.int32(n_flat))
+    mu = min(unique_cap, n)
+    uk = lax.sort(k2, is_stable=False)[:mu]
+    if mu < unique_cap:
+        uk = jnp.pad(uk, (0, unique_cap - mu), constant_values=n_flat)
+
     def compact(f):
-        return f.at[k2s].add(
-            jnp.where(k2s < n_flat, cnts.astype(f.dtype) * l_miss, 0.0),
+        return f.at[uk].add(
+            jnp.where(uk < n_flat, cnt_u.astype(f.dtype) * l_miss, 0.0),
             mode="drop")
 
     def full(f):
-        return f.at[key].add(jnp.where(key < n_flat, l_miss, 0.0),
-                             mode="drop")
+        return f.at[key_flat].add(
+            jnp.where(key_flat < n_flat, l_miss, 0.0), mode="drop")
 
-    flat = lax.cond(n_seg <= unique_cap, compact, full, flat)
+    flat = lax.cond(overflow1 | (n_seg > unique_cap), full, compact, flat)
     return jnp.clip(flat.reshape(ny, nx), lo_min, lo_max)

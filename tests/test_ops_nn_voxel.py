@@ -100,3 +100,35 @@ def test_voxel_downsample_with_padding_mask():
     assert 0 < n <= 50
     # all valid outputs lie within the bounding box of the inputs
     assert (out[:n] >= pts.min(0) - 0.5).all() and (out[:n] <= pts.max(0) + 0.5).all()
+
+
+def test_voxel_downsample_fixed_matches_full():
+    """The gather-based truncating path (capacity < N) must agree with the
+    scatter-based full path, both when every voxel fits and when voxels
+    are dropped (exact lexicographic truncation)."""
+    from icp_tpu.ops.voxel import voxel_downsample_fixed
+
+    rng = np.random.default_rng(9)
+    for d in (2, 3):
+        pts = _random_cloud(rng, 400, d=d, scale=5.0)
+        pp, pm = pad_points(pts, 512)
+        voxel = 0.6
+        full, fm = voxel_downsample(jnp.asarray(pp), jnp.asarray(pm), voxel)
+        full, fm = np.asarray(full), np.asarray(fm)
+        n_uniq = int(fm.sum())
+
+        for cap in (n_uniq + 37, n_uniq, max(4, n_uniq // 2)):
+            out, om = voxel_downsample_fixed(
+                jnp.asarray(pp), jnp.asarray(pm), voxel, cap)
+            out, om = np.asarray(out), np.asarray(om)
+            assert out.shape == (cap, d) and om.shape == (cap,)
+            k = min(cap, n_uniq)
+            assert om[:k].all() and not om[k:].any()
+            np.testing.assert_allclose(out[:k], full[:k],
+                                       rtol=1e-5, atol=1e-5)
+
+    # all-masked input: no valid voxels, nothing asserted but shapes/mask
+    pp, pm = pad_points(_random_cloud(rng, 10), 64)
+    out, om = voxel_downsample_fixed(
+        jnp.asarray(pp), jnp.zeros(64, bool), 0.5, 16)
+    assert not np.asarray(om).any()

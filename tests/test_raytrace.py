@@ -212,6 +212,21 @@ def test_raytrace_batched_matches_sequential():
                                       max_steps=128, unique_cap=cap)
         np.testing.assert_allclose(np.asarray(got), np.asarray(seq),
                                    rtol=1e-5, atol=1e-5)
+    # stage-1 per-scan compaction: ample, overflowing (exact fallback),
+    # and no-op (scan_cap >= S*N) — all must equal the sequential result
+    for scap in (4096, 40, 128 * N):
+        got = raytrace_update_batched(grid0, origins, hits, valid, *args,
+                                      max_steps=128, unique_cap=4096,
+                                      scan_cap=scap)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(seq),
+                                   rtol=1e-5, atol=1e-5)
+    # unique_cap + 1 > B*scan_cap but < B*S*N: exercises the pad-after-
+    # slice path inside the compacted dedup
+    got = raytrace_update_batched(grid0, origins, hits, valid, *args,
+                                  max_steps=128, unique_cap=30000,
+                                  scan_cap=4096)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(seq),
+                               rtol=1e-5, atol=1e-5)
     got_none = raytrace_update_batched(grid0, origins, hits, valid, *args,
                                        max_steps=128, unique_cap=None)
     np.testing.assert_allclose(np.asarray(got_none), np.asarray(seq),
