@@ -67,7 +67,7 @@ def main():
         "mapping": {"resolution": 0.05, "margin": 50.0},
         "service": {"loop": False},
         "display": {"live_map": False},
-        "tpu": {"scan_capacity": 1024, "submap_capacity": 4096,
+        "tpu": {"scan_capacity": 768, "submap_capacity": 4096,
                 "max_ray_cells": 640, "batch_scans": 16},
     })
 

@@ -107,7 +107,7 @@ def _run_pipeline(submap: bool, lc: bool):
                          "information_scale": 5.0},
         "filter": {"z_min": 0.5, "z_max": 2.0},
         "mapping": {"resolution": 0.05, "margin": 50.0},
-        "tpu": {"scan_capacity": 1024, "submap_capacity": 4096,
+        "tpu": {"scan_capacity": 768, "submap_capacity": 4096,
                 "max_ray_cells": 640, "batch_scans": 16},
     })
     scans, rels = [], []

@@ -185,7 +185,11 @@ class SlamEngine:
                                  f"None, got {fcc!r}")
             cheb = np.max(np.abs(first_points[:, :2]), axis=1)
             est = float(np.sum(cheb)) / self.cfg.map_resolution
-            cap = int(np.ceil(est * 2.0 / 8192.0)) * 8192
+            # 1.5x headroom over the first scan's exact emitted-cell count
+            # (the estimate IS the count for that scan); the dedup sorts
+            # scale with this cap, and overflow falls back to the exact
+            # full scatter in-graph, so a tight cap is a perf bet only
+            cap = int(np.ceil(est * 1.5 / 8192.0)) * 8192
             cap = max(8192, cap)
         else:
             cap = int(fcc)

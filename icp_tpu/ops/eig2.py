@@ -14,7 +14,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from icp_tpu.ops.nn import knn_query
+from icp_tpu.ops.nn import pairwise_sqdist
+from icp_tpu.utils.masking import masked_centroid
 
 
 def eigh2x2(a, b, c):
@@ -46,17 +47,39 @@ def _neighbor_cov(points, mask, k: int):
 
     Returns (a, b, c, cnt): covariance entries per point and the number of
     valid neighbors used.
+
+    TPU shape: a k-NN sort of the (N, N) distance matrix plus an
+    (N, k+1, 2) gather is the slow way to get neighbor SUMS — ``top_k``
+    lowers to a full row sort and element gathers run near-scalar
+    (BENCHMARKS.md). Instead: extract the exact (k+1)-th smallest distance
+    per row with k+1 cheap min+mask passes (no sort, no gathers), then
+    accumulate the neighbor moments with masked row reductions where
+    weight = (d <= threshold). Exactly the k+1 nearest per row except
+    under exact distance TIES at the threshold (then all tied points are
+    included) — measure-zero for f32 point clouds.
     """
-    _, idx = knn_query(points, mask, points, mask, k + 1)   # (N, k+1), self first
-    nbrs = points[idx]                                      # (N, k+1, 2)
-    w = mask[idx].astype(points.dtype)                      # neighbor validity
+    center = masked_centroid(points, mask)
+    p = points - center                     # translation-invariant cov
+    d0 = pairwise_sqdist(p, p, mask)        # (N, N); masked cols BIG
+    d = d0
+    thresh = None
+    for _ in range(k + 1):
+        thresh = jnp.min(d, axis=-1)
+        d = jnp.where(d <= thresh[:, None], jnp.inf, d)
+    w = ((d0 <= thresh[:, None]) & mask[None, :]).astype(points.dtype)
+
     cnt = jnp.sum(w, axis=-1)                               # (N,)
-    mean = jnp.sum(nbrs * w[..., None], axis=-2) / jnp.maximum(cnt, 1.0)[:, None]
-    cen = (nbrs - mean[:, None, :]) * w[..., None]
+    cntc = jnp.maximum(cnt, 1.0)
+    mx = (w @ p[:, 0]) / cntc
+    my = (w @ p[:, 1]) / cntc
+    # second moments about each row's own neighborhood mean (precise in
+    # f32; expanding sum(x^2) - n*mean^2 would cancel catastrophically)
+    dx = p[None, :, 0] - mx[:, None]
+    dy = p[None, :, 1] - my[:, None]
     denom = jnp.maximum(cnt - 1.0, 1.0)
-    a = jnp.sum(cen[..., 0] * cen[..., 0], axis=-1) / denom
-    b = jnp.sum(cen[..., 0] * cen[..., 1], axis=-1) / denom
-    c = jnp.sum(cen[..., 1] * cen[..., 1], axis=-1) / denom
+    a = jnp.sum(w * dx * dx, axis=-1) / denom
+    b = jnp.sum(w * dx * dy, axis=-1) / denom
+    c = jnp.sum(w * dy * dy, axis=-1) / denom
     return a, b, c, cnt
 
 

@@ -73,7 +73,7 @@ def main():
         "filter": {"z_min": 0.5, "z_max": 2.0},
         "mapping": {"resolution": 0.05, "margin": 50.0},
         "display": {"live_map": False},
-        "tpu": {"scan_capacity": 1024, "submap_capacity": 4096,
+        "tpu": {"scan_capacity": 768, "submap_capacity": 4096,
                 "max_ray_cells": 640},
     }
 
