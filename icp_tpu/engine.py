@@ -127,6 +127,23 @@ class SlamEngine:
         self.stats = SlamStats()
         self._key = jax.random.PRNGKey(cfg.ransac_iterations)
 
+        # Distributed execution (new vs reference — SURVEY.md §2.2): with
+        # more than one device visible, build a 1-D mesh and hand it to the
+        # subsystems that scale horizontally — LC candidate verification
+        # (candidate axis) and the pose-graph GN step (Schur-complement over
+        # edge/keyframe shards). Single-device runs are unaffected.
+        self.mesh = None
+        dist = cfg.distributed
+        n_dev = len(jax.devices())
+        if dist is True and n_dev < 2:
+            raise RuntimeError(
+                f"tpu.distributed=true needs >1 device, found {n_dev}"
+            )
+        if (dist is True) or (dist == "auto" and n_dev > 1):
+            from icp_tpu.parallel.mesh import make_mesh
+            self.mesh = make_mesh()
+            self.pose_graph.set_mesh(self.mesh, cfg.dist_node_threshold)
+
         self._cap = cfg.scan_capacity
         self._sub_cap = cfg.submap_capacity
 
@@ -398,6 +415,12 @@ class SlamEngine:
             self._lc_verify_fn = fn
 
         C = int(cfg.lc_max_candidates)
+        if self.mesh is not None:
+            # shard the candidate axis: pad C to a devices multiple so the
+            # vmap lanes split evenly over the mesh (padding lanes repeat a
+            # real candidate, so they converge and are simply ignored)
+            D = int(self.mesh.devices.size)
+            C = -(-C // D) * D
         cand_pts = np.zeros((C, cap, 2), np.float32)
         cand_masks = np.zeros((C, cap), bool)
         for j in range(C):
@@ -411,9 +434,19 @@ class SlamEngine:
                 cand_pts[j, n:] = p[0]
             cand_masks[j, :n] = True
         sp, sm = _pad_fixed(points, cap)
+        cp, cm = jnp.asarray(cand_pts), jnp.asarray(cand_masks)
+        if self.mesh is not None:
+            # candidate-axis sharding: GSPMD partitions the vmapped
+            # verify across the mesh (each lane is independent)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            cand_sh = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+            repl = NamedSharding(self.mesh, P())
+            cp = jax.device_put(cp, cand_sh)
+            cm = jax.device_put(cm, cand_sh)
+            sp = jax.device_put(sp, repl)
+            sm = jax.device_put(sm, repl)
         Rs, ts, errs, iters = jax.device_get(
-            self._lc_verify_fn(sp, sm, jnp.asarray(cand_pts),
-                               jnp.asarray(cand_masks))
+            self._lc_verify_fn(sp, sm, cp, cm)
         )
         return [(np.asarray(Rs[j]), np.asarray(ts[j]), float(errs[j]),
                  int(iters[j])) for j in range(len(candidates))]
@@ -753,17 +786,28 @@ class SlamEngine:
         msk = np.zeros((B, cap), bool)
         deltas = np.zeros(B, np.float32)
         yaws = np.zeros(B, np.float32)
-        for i, (p, r) in enumerate(zip(scans, rel_times)):
+        for i, p in enumerate(scans):
             self._check_ray_bound(p)
             n = min(p.shape[0], cap)
             pts[i, :n] = p[:n]
             if n > 0:
                 pts[i, n:] = p[0]
             msk[i, :n] = True
-            yaw, delta = self._imu_for(r, prev_rel)
-            yaws[i] = yaw if yaw is not None else 0.0
-            deltas[i] = delta if delta is not None else 0.0
-            prev_rel = r
+        if self.imu is not None and all(r is not None for r in rel_times):
+            # One vectorized IMU lookup for the whole chunk: absolute yaws
+            # (calibration-offset wrapped, slam.py:456-459) and scan-to-scan
+            # deltas chained off prev_rel (slam.py:461-463).
+            rels = np.asarray(rel_times, np.int64)
+            raw = self.imu.yaws_at(rels)
+            yaws[:len(scans)] = ((raw - self.imu_yaw_offset + np.pi)
+                                 % (2 * np.pi) - np.pi)
+            prevs = np.empty_like(rels)
+            prevs[1:] = rels[:-1]
+            prevs[0] = prev_rel if prev_rel is not None else rels[0]
+            d = self.imu.delta_yaws(prevs, rels)
+            if prev_rel is None:
+                d[0] = 0.0
+            deltas[:len(scans)] = d
         return pts, msk, deltas, yaws
 
     def _dispatch_chunk_sync(self, scans: list, rel_times: list,
@@ -979,6 +1023,8 @@ class SlamEngine:
             )
             self.mapper.log_odds = jnp.asarray(d["log_odds"])
         self.pose_graph = PoseGraph2D()
+        if self.mesh is not None:
+            self.pose_graph.set_mesh(self.mesh, cfg.dist_node_threshold)
         for v in d["pg_nodes"]:
             self.pose_graph.add_node(v)
         for i, j, z, om in zip(d["pg_ei"], d["pg_ej"], d["pg_z"], d["pg_om"]):

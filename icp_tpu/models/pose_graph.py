@@ -189,6 +189,17 @@ class PoseGraph2D:
         self._edges_om: list[np.ndarray] = []
         self._min_nc = 2
         self._min_ec = 2
+        self._mesh = None            # set_mesh: distributed Schur solve
+        self._dist_threshold = 1024
+
+    def set_mesh(self, mesh, node_threshold: int = 1024):
+        """Enable the distributed solve: above ``node_threshold`` nodes,
+        optimize() runs the exact Schur-complement GN sharded over ``mesh``
+        (parallel/dist_pose_graph.py) instead of the single-device dense
+        solve. Below it the dense path stays — it is faster for small
+        graphs and numerically identical (both are exact GN steps)."""
+        self._mesh = mesh
+        self._dist_threshold = int(node_threshold)
 
     def reserve(self, n_nodes: int, n_edges: int | None = None):
         """Pin the packed capacity buckets so every optimize() of a run
@@ -249,6 +260,12 @@ class PoseGraph2D:
     def optimize(self, n_iterations=20, fix_node=0, convergence_eps=1e-6):
         if self.n_nodes < 2 or self.n_edges == 0:
             return
+        if (self._mesh is not None
+                and self._mesh.devices.size > 1
+                and self.n_nodes >= self._dist_threshold):
+            return self._optimize_distributed(
+                n_iterations, fix_node, convergence_eps
+            )
         nodes, node_mask, ei, ej, z, om, edge_mask = self._packed()
         out, _ = optimize_dense(
             jnp.asarray(nodes), jnp.asarray(node_mask),
@@ -257,6 +274,28 @@ class PoseGraph2D:
             jnp.int32(fix_node),
             n_iterations=int(n_iterations),
             convergence_eps=convergence_eps,
+        )
+        out = np.asarray(out)
+        for k in range(self.n_nodes):
+            self._nodes[k] = out[k]
+
+    def _optimize_distributed(self, n_iterations, fix_node, convergence_eps):
+        """Exact Schur-complement GN sharded over the mesh — the scale path
+        replacing the reference's dense O(n^3) solve
+        (/root/reference/utilities/pose_graph.py:83-134). The graph is
+        partitioned once per optimize call (topology-only) and every GN
+        iteration is one sharded device step + one psum round."""
+        # deferred import: parallel.dist_pose_graph imports this module
+        from icp_tpu.parallel.dist_pose_graph import (
+            optimize_schur, partition_graph,
+        )
+        nodes, node_mask, ei, ej, z, om, edge_mask = self._packed()
+        n_dev = int(self._mesh.devices.size)
+        part = partition_graph(nodes.shape[0], ei, ej, z, om, edge_mask,
+                               n_dev, int(fix_node))
+        out, _ = optimize_schur(
+            self._mesh, jnp.asarray(nodes), jnp.asarray(node_mask), part,
+            n_iterations=int(n_iterations), convergence_eps=convergence_eps,
         )
         out = np.asarray(out)
         for k in range(self.n_nodes):

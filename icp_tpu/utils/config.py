@@ -146,6 +146,16 @@ class SlamConfig:
     # see prealign.submap_rotation_search). None -> derived defaults.
     sweep_src_capacity: int | None = None
     sweep_tgt_capacity: int | None = None
+    # distributed execution: "auto" = build a device mesh when more than
+    # one JAX device is visible and shard loop-closure verification + the
+    # pose-graph GN step over it; True forces it (errors if single-device),
+    # False keeps everything single-device
+    distributed: bool | str = "auto"
+    # node count at which PoseGraph2D.optimize switches from the
+    # single-device dense solve to the distributed Schur-complement solve
+    # (dense is faster for small graphs; Schur is exact, so the crossover
+    # is purely a perf knob)
+    dist_node_threshold: int = 1024
 
     @property
     def sweep_src_cap(self) -> int:
@@ -250,6 +260,8 @@ class SlamConfig:
         c.batched_map = t.get("batched_map", True)
         c.sweep_src_capacity = t.get("sweep_src_capacity", None)
         c.sweep_tgt_capacity = t.get("sweep_tgt_capacity", None)
+        c.distributed = t.get("distributed", "auto")
+        c.dist_node_threshold = t.get("dist_node_threshold", 1024)
         return c
 
     @classmethod
