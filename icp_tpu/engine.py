@@ -99,6 +99,7 @@ class SlamStats:
     loop_closures: int = 0
     icp_iters: int = 0
     truncated_scans: int = 0   # scans out-ranging the auto ray bound
+    sweep_dropped_voxels: int = 0  # sweep voxels lost to src/tgt caps
     wall_registration: float = 0.0
     wall_mapping: float = 0.0
     wall_loop_closure: float = 0.0
@@ -147,14 +148,11 @@ class SlamEngine:
         self._cap = cfg.scan_capacity
         self._sub_cap = cfg.submap_capacity
 
-        # Fused single-dispatch path (models/slam_step.py): eligible when
-        # pre-alignment is IMU or rotation-search (the features path keeps
-        # the modular pipeline). Built lazily at the first scan, once the
+        # Fused single-dispatch path (models/slam_step.py): every
+        # pre-alignment mode is fused (rotation_search, features, both,
+        # none, IMU-initialized). Built lazily at the first scan, once the
         # grid bounds are known.
-        self._fused_eligible = cfg.fused and (
-            cfg.alignment_method in ("rotation_search", "none")
-            or imu is not None
-        )
+        self._fused_eligible = bool(cfg.fused)
         self._step_fn = None
         self._batch_fn = None
         self._state: SlamState | None = None
@@ -307,14 +305,16 @@ class SlamEngine:
         else:
             angle_range, angle_step = cfg.sub_rot_range, cfg.sub_rot_step
 
-        R_init, t_init = submap_rotation_search(
+        R_init, t_init, s_drop, t_drop = submap_rotation_search(
             sp, sm, sub_pts, sub_mask, jnp.asarray(pred),
             angle_range=float(angle_range),
             angle_step=float(angle_step),
             fine_step=float(cfg.sub_rot_fine),
             voxel_size=cfg.sub_rot_voxel,
             src_cap=cfg.sweep_src_cap, tgt_cap=cfg.sweep_tgt_cap,
+            with_overflow=True,
         )
+        self._check_sweep_drop(int(s_drop) + int(t_drop))
         res = icp(
             sp, sm, sub_pts, sub_mask, R_init, t_init,
             voxel_size=cfg.icp_voxel,
@@ -387,10 +387,11 @@ class SlamEngine:
         cap = self._cap
         if self._lc_verify_fn is None:
             do_rs = cfg.alignment_method in ("rotation_search", "both")
+            do_feat = cfg.alignment_method in ("features", "both")
 
             @jax.jit
-            def fn(sp, sm, cp, cm):
-                def one(c_pts, c_msk):
+            def fn(sp, sm, cp, cm, keys):
+                def one(c_pts, c_msk, k):
                     if do_rs:
                         R0, t0, _ = rotation_search(
                             sp, sm, c_pts, c_msk,
@@ -401,6 +402,25 @@ class SlamEngine:
                     else:
                         R0 = jnp.eye(2, dtype=jnp.float32)
                         t0 = jnp.zeros(2, jnp.float32)
+                    if do_feat:
+                        # reference runs the full front-end per candidate
+                        # (slam.py:575-579 -> 53-98): feature alignment on
+                        # the pre-rotated source, composed on acceptance
+                        fa_src = sp @ R0.T + t0
+                        R_f, t_f, n_in = feature_based_alignment(
+                            fa_src, sm, c_pts, c_msk, k,
+                            voxel_size=cfg.feat_voxel,
+                            k_curvature=int(cfg.k_curvature),
+                            top_n=int(cfg.top_n),
+                            min_kp_dist=cfg.min_kp_dist,
+                            k_descriptor=int(cfg.k_descriptor),
+                            ratio_threshold=cfg.ratio_threshold,
+                            ransac_iterations=int(cfg.ransac_iterations),
+                            inlier_threshold=cfg.inlier_threshold,
+                        )
+                        ok = n_in >= int(cfg.min_inliers)
+                        R0 = jnp.where(ok, R_f @ R0, R0)
+                        t0 = jnp.where(ok, t0 @ R_f.T + t_f, t0)
                     res = icp(
                         sp, sm, c_pts, c_msk, R0, t0,
                         voxel_size=cfg.icp_voxel,
@@ -410,7 +430,7 @@ class SlamEngine:
                         error_threshold=cfg.icp_error_threshold,
                     )
                     return res.R, res.t, res.error, res.iters
-                return jax.vmap(one)(cp, cm)
+                return jax.vmap(one)(cp, cm, keys)
 
             self._lc_verify_fn = fn
 
@@ -435,6 +455,8 @@ class SlamEngine:
             cand_masks[j, :n] = True
         sp, sm = _pad_fixed(points, cap)
         cp, cm = jnp.asarray(cand_pts), jnp.asarray(cand_masks)
+        self._key, sub = jax.random.split(self._key)
+        keys = jax.random.split(sub, C)            # one RANSAC key per lane
         if self.mesh is not None:
             # candidate-axis sharding: GSPMD partitions the vmapped
             # verify across the mesh (each lane is independent)
@@ -443,10 +465,11 @@ class SlamEngine:
             repl = NamedSharding(self.mesh, P())
             cp = jax.device_put(cp, cand_sh)
             cm = jax.device_put(cm, cand_sh)
+            keys = jax.device_put(keys, cand_sh)
             sp = jax.device_put(sp, repl)
             sm = jax.device_put(sm, repl)
         Rs, ts, errs, iters = jax.device_get(
-            self._lc_verify_fn(sp, sm, cp, cm)
+            self._lc_verify_fn(sp, sm, cp, cm, keys)
         )
         return [(np.asarray(Rs[j]), np.asarray(ts[j]), float(errs[j]),
                  int(iters[j])) for j in range(len(candidates))]
@@ -553,6 +576,15 @@ class SlamEngine:
             rotation_voxel_size=float(cfg.rotation_voxel_size),
             angle_step_coarse=float(cfg.angle_step_coarse),
             angle_step_fine=float(cfg.angle_step_fine),
+            feat_voxel=float(cfg.feat_voxel),
+            k_curvature=int(cfg.k_curvature),
+            top_n=int(cfg.top_n),
+            min_kp_dist=float(cfg.min_kp_dist),
+            k_descriptor=int(cfg.k_descriptor),
+            ratio_threshold=float(cfg.ratio_threshold),
+            ransac_iterations=int(cfg.ransac_iterations),
+            inlier_threshold=float(cfg.inlier_threshold),
+            min_inliers=int(cfg.min_inliers),
             submap_enabled=bool(cfg.submap_enabled),
             submap_voxel=float(cfg.submap_voxel),
             submap_capacity=int(cfg.submap_capacity),
@@ -571,10 +603,12 @@ class SlamEngine:
             max_ray_cells=m.max_ray_cells,
             free_cells_cap=m.free_cells_cap,
             batched_map=bool(cfg.batched_map) and cfg.batch_scans > 1,
+            nn_impl=str(cfg.nn_impl),
         )
         sp, sm = _pad_fixed(first_points, self._cap)
         self._state = init_state(sp, sm, m.log_odds,
-                                 max(int(cfg.submap_size), 1))
+                                 max(int(cfg.submap_size), 1),
+                                 seed=int(cfg.ransac_iterations))
 
     def sync_map(self):
         """Pull the device-resident grid into the mapper (for export).
@@ -663,6 +697,7 @@ class SlamEngine:
             # (self._map_dirty), and mapper.log_odds may alias a buffer the
             # donating fused program has already consumed
             log_odds=self._state.log_odds,
+            key=self._state.key,
         )
 
     def _imu_for(self, rel_time_us, prev_rel):
@@ -732,6 +767,7 @@ class SlamEngine:
             chunk_r = rel_times[i:i + B]
             outs = self._dispatch_chunk_sync(chunk_s, chunk_r, pad_to=B)
             self._check_sub_saturation(outs.sub_n)
+            self._check_sweep_drop(outs.sweep_drop)
             rolled_back = False
             for j in range(len(chunk_s)):
                 ok = self._bookkeep_fused(
@@ -900,6 +936,20 @@ class SlamEngine:
                   f"({self._sub_cap}); raise tpu.submap_capacity to avoid "
                   f"truncating the submap")
 
+    def _check_sweep_drop(self, dropped) -> None:
+        """Count (and warn once about) coarse-sweep voxels dropped by the
+        static sweep caps — a silent accuracy loss in the rotation scoring
+        unless surfaced (the subsequent ICP still sees the full submap)."""
+        d = int(np.sum(np.asarray(dropped)))
+        if d <= 0:
+            return
+        self.stats.sweep_dropped_voxels += d
+        if not getattr(self, "_sweep_drop_warned", False):
+            self._sweep_drop_warned = True
+            print(f"  [warn] submap sweep dropped {d} coarse voxels "
+                  f"(tpu.sweep_src_capacity/sweep_tgt_capacity too small); "
+                  f"counted in stats.sweep_dropped_voxels")
+
     def _drain_pending(self) -> int:
         """Bookkeep any batches whose results are in flight."""
         accepted = 0
@@ -907,6 +957,7 @@ class SlamEngine:
             scans, rel_times, outs = self._pending.pop(0)
             outs = jax.device_get(outs)
             self._check_sub_saturation(outs.sub_n)
+            self._check_sweep_drop(outs.sweep_drop)
             for i in range(len(scans)):
                 ok = self._bookkeep_fused(
                     scans[i],
@@ -932,6 +983,7 @@ class SlamEngine:
         )
         out = jax.device_get(out)          # single host sync per scan
         self._check_sub_saturation(out.sub_n)
+        self._check_sweep_drop(out.sweep_drop)
         self.stats.wall_registration += time.perf_counter() - t0
 
         self.prev_points = points_2d

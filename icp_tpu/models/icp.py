@@ -49,9 +49,24 @@ class ICPResult(NamedTuple):
     n_inliers: jax.Array  # inlier count at the last executed iteration
 
 
+def _nn_tiles(n: int, m: int):
+    """Largest power-of-two Pallas tile sizes dividing (n, m), or None when
+    the shapes don't meet the TPU tiling minimum (sublane 8, lane 128)."""
+    tn = 256
+    while tn >= 8 and n % tn:
+        tn //= 2
+    tm = 1024
+    while tm >= 128 and m % tm:
+        tm //= 2
+    if n % tn or m % tm or tn < 8 or tm < 128:
+        return None
+    return tn, tm
+
+
 @partial(
     jax.jit,
-    static_argnames=("method", "max_iterations", "normal_k", "use_gate"),
+    static_argnames=("method", "max_iterations", "normal_k", "use_gate",
+                     "nn_impl"),
 )
 def icp_core(
     source,
@@ -67,15 +82,33 @@ def icp_core(
     error_threshold=1e-7,
     max_corr_dist=0.0,
     use_gate: bool = False,
+    nn_impl: str = "xla",
 ):
     """ICP on already-downsampled masked clouds. See module docstring.
 
     source/target: (N, D)/(M, D) with masks. R_init/t_init must always be
     provided (identity for the un-initialized case) — they are dynamic
     values, so no retrace.
+
+    ``nn_impl``: per-iteration correspondence search (the hot query,
+    reference icp.py:179). "xla" materializes the (N, M) distance matrix;
+    "pallas" streams target tiles through VMEM (ops/pallas/nn_kernel.py),
+    keeping HBM traffic O(N+M) — the win grows with M (submap matching);
+    "auto" picks pallas on TPU when the 2D shapes tile cleanly. Both break
+    argmin ties toward the lower index, so results are identical.
     """
     dim = source.shape[1]
     use_p2l = method == "point_to_line" and dim == 2
+
+    nn_tiles = None
+    if nn_impl in ("pallas", "auto") and dim == 2:
+        nn_tiles = _nn_tiles(source.shape[0], target.shape[0])
+        if nn_tiles is None and nn_impl == "pallas":
+            raise ValueError(
+                f"nn_impl='pallas' needs tileable 2D shapes, got "
+                f"N={source.shape[0]}, M={target.shape[0]}")
+        if jax.default_backend() not in ("tpu",) and nn_impl == "auto":
+            nn_tiles = None
     n_valid = jnp.sum(src_mask.astype(jnp.float32))
     min_inliers = jnp.maximum(3.0, jnp.floor(n_valid / 10.0))
     max_corr_sq = jnp.asarray(max_corr_dist, jnp.float32) ** 2
@@ -92,7 +125,14 @@ def icp_core(
     def body(carry):
         it, transformed, r_total, t_total, prev_error, _, _, _ = carry
 
-        nn_dists, nn_idx = nn_query(transformed, target, tgt_mask, src_mask)
+        if nn_tiles is not None:
+            from icp_tpu.ops.pallas.nn_kernel import nn_pallas
+            d2, nn_idx = nn_pallas(transformed, target, tgt_mask,
+                                   tn=nn_tiles[0], tm=nn_tiles[1])
+            nn_dists = jnp.sqrt(d2)
+        else:
+            nn_dists, nn_idx = nn_query(transformed, target, tgt_mask,
+                                        src_mask)
         nearest = target[nn_idx]
 
         if use_gate:
@@ -146,7 +186,8 @@ def icp_core(
 
 @partial(
     jax.jit,
-    static_argnames=("method", "max_iterations", "normal_k", "use_gate"),
+    static_argnames=("method", "max_iterations", "normal_k", "use_gate",
+                     "nn_impl"),
 )
 def icp(
     source,
@@ -163,6 +204,7 @@ def icp(
     error_threshold=1e-7,
     max_corr_dist=0.0,
     use_gate: bool = False,
+    nn_impl: str = "xla",
 ):
     """Full ICP entry: voxel-downsample both clouds, then run icp_core.
 
@@ -179,6 +221,7 @@ def icp(
         error_threshold=error_threshold,
         max_corr_dist=max_corr_dist,
         use_gate=use_gate,
+        nn_impl=nn_impl,
     )
 
 

@@ -109,7 +109,7 @@ def _masked_percentile(values, mask, q: float):
 @partial(
     jax.jit,
     static_argnames=("angle_range", "angle_step", "fine_step",
-                     "src_cap", "tgt_cap"),
+                     "src_cap", "tgt_cap", "with_overflow"),
 )
 def submap_rotation_search(
     source_local, src_mask, submap_global, submap_mask, predicted_pose,
@@ -120,6 +120,7 @@ def submap_rotation_search(
     voxel_size=0.3,
     src_cap: int | None = None,
     tgt_cap: int | None = None,
+    with_overflow: bool = False,
 ):
     """Rotation sweep around the predicted yaw with translation pinned to the
     predicted position, then one NN-centroid translation refinement using the
@@ -136,13 +137,20 @@ def submap_rotation_search(
     the full-capacity sweep wastes >10x compute on masked padding). Pick
     caps with generous headroom; if a cloud ever overflows, the overflow
     voxels (lexicographically last) are dropped from the sweep scoring
-    only — the subsequent ICP still sees the full submap.
+    only — the subsequent ICP still sees the full submap. With
+    ``with_overflow`` the dropped-voxel counts are returned as extra
+    outputs (R, t, src_drop, tgt_drop) so callers can count/warn instead
+    of silently losing sweep accuracy.
     """
     src, sm = voxel_downsample(source_local, src_mask, voxel_size)
     tgt, tm = voxel_downsample(submap_global, submap_mask, voxel_size)
+    src_drop = jnp.int32(0)
+    tgt_drop = jnp.int32(0)
     if src_cap is not None and src_cap < src.shape[0]:
+        src_drop = jnp.sum(sm[src_cap:].astype(jnp.int32))
         src, sm = src[:src_cap], sm[:src_cap]
     if tgt_cap is not None and tgt_cap < tgt.shape[0]:
+        tgt_drop = jnp.sum(tm[tgt_cap:].astype(jnp.int32))
         tgt, tm = tgt[:tgt_cap], tm[:tgt_cap]
 
     pred_t = predicted_pose[:2, 2]
@@ -182,4 +190,6 @@ def submap_rotation_search(
     ok = (jnp.sum(sm) >= 5) & (jnp.sum(tm) >= 5)
     R_out = jnp.where(ok, R_best, predicted_pose[:2, :2])
     t_out = jnp.where(ok, t_out, pred_t)
+    if with_overflow:
+        return R_out, t_out, src_drop, tgt_drop
     return R_out, t_out

@@ -47,6 +47,7 @@ class SlamState(NamedTuple):
     ring_mask: jax.Array     # (K, cap)
     ring_idx: jax.Array      # scalar int32 — next slot to write
     log_odds: jax.Array      # (ny, nx)
+    key: jax.Array           # (2,) uint32 PRNG key (features-mode RANSAC)
 
 
 class StepOut(NamedTuple):
@@ -59,9 +60,12 @@ class StepOut(NamedTuple):
     sub_n: jax.Array         # valid submap points fed to correction
                              # (== capacity -> capacity saturated, voxels
                              # may have been truncated; engine warns)
+    sweep_drop: jax.Array    # coarse-sweep voxels dropped by the static
+                             # src/tgt caps (>0 -> sweep scoring lost
+                             # points; engine counts + warns)
 
 
-def init_state(first_scan, first_mask, log_odds, ring_k: int):
+def init_state(first_scan, first_mask, log_odds, ring_k: int, seed: int = 0):
     """Device state after the reference's first-scan initialization.
 
     ``log_odds`` is the grid already containing the first scan's update
@@ -82,6 +86,7 @@ def init_state(first_scan, first_mask, log_odds, ring_k: int):
         ring_mask=ring_mask,
         ring_idx=jnp.int32(1),
         log_odds=jnp.asarray(log_odds, jnp.float32),
+        key=jax.random.PRNGKey(seed),
     )
 
 
@@ -99,6 +104,16 @@ def make_slam_step(
     rotation_voxel_size: float,
     angle_step_coarse: float,
     angle_step_fine: float,
+    # no-IMU pre-alignment (features/RANSAC; prealign "features"/"both")
+    feat_voxel: float = 0.2,
+    k_curvature: int = 10,
+    top_n: int = 100,
+    min_kp_dist: float = 0.3,
+    k_descriptor: int = 30,
+    ratio_threshold: float = 0.8,
+    ransac_iterations: int = 1000,
+    inlier_threshold: float = 0.5,
+    min_inliers: int = 3,
     # submap
     submap_enabled: bool,
     submap_voxel: float,
@@ -122,6 +137,7 @@ def make_slam_step(
     max_ray_cells: int,
     free_cells_cap: int | None = None,
     batched_map: bool = False,
+    nn_impl: str = "auto",
 ):
     """Build the fused jitted step for a fixed configuration + grid.
 
@@ -140,6 +156,7 @@ def make_slam_step(
     def step(state: SlamState, cur_pts, cur_mask, imu_delta, imu_yaw,
              paint_map: bool = True):
         # ── Step 1: scan-to-scan odometry (slam.py:465-483) ──────────────
+        key = state.key
         if use_imu:
             R0 = se2.rotmat(imu_delta)
             t0 = jnp.zeros(2, jnp.float32)
@@ -147,12 +164,34 @@ def make_slam_step(
             R0 = jnp.eye(2, dtype=jnp.float32)
             t0 = jnp.zeros(2, jnp.float32)
         else:
-            R0, t0, _ = rotation_search(
-                state.prev_pts, state.prev_mask, cur_pts, cur_mask,
-                voxel_size=rotation_voxel_size,
-                angle_step_coarse=angle_step_coarse,
-                angle_step_fine=angle_step_fine,
-            )
+            if prealign in ("rotation_search", "both"):
+                R0, t0, _ = rotation_search(
+                    state.prev_pts, state.prev_mask, cur_pts, cur_mask,
+                    voxel_size=rotation_voxel_size,
+                    angle_step_coarse=angle_step_coarse,
+                    angle_step_fine=angle_step_fine,
+                )
+            else:
+                R0 = jnp.eye(2, dtype=jnp.float32)
+                t0 = jnp.zeros(2, jnp.float32)
+            if prealign in ("features", "both"):
+                # feature alignment on the pre-rotated source, composed
+                # exactly like the reference (slam.py:68-88)
+                from icp_tpu.models.features import feature_based_alignment
+                key, sub = jax.random.split(key)
+                fa_src = state.prev_pts @ R0.T + t0
+                R_f, t_f, n_in = feature_based_alignment(
+                    fa_src, state.prev_mask, cur_pts, cur_mask, sub,
+                    voxel_size=feat_voxel,
+                    k_curvature=k_curvature, top_n=top_n,
+                    min_kp_dist=min_kp_dist, k_descriptor=k_descriptor,
+                    ratio_threshold=ratio_threshold,
+                    ransac_iterations=ransac_iterations,
+                    inlier_threshold=inlier_threshold,
+                )
+                ok = n_in >= min_inliers
+                R0 = jnp.where(ok, R_f @ R0, R0)
+                t0 = jnp.where(ok, t0 @ R_f.T + t_f, t0)
         src_d, src_dm = voxel_downsample(state.prev_pts, state.prev_mask,
                                          icp_voxel)
         tgt_d, tgt_dm = voxel_downsample(cur_pts, cur_mask, icp_voxel)
@@ -162,6 +201,7 @@ def make_slam_step(
             max_iterations=icp_max_iterations,
             normal_k=icp_normal_k,
             error_threshold=icp_error_threshold,
+            nn_impl=nn_impl,
         )
         err_inc = res.error
         # degenerate scan (<10 valid points): skip entirely, carrying ALL
@@ -180,6 +220,7 @@ def make_slam_step(
         # ── Step 2: submap correction (slam.py:497-536) ─────────────────
         sub_applied = jnp.bool_(False)
         sub_n = jnp.int32(0)
+        sweep_drop = jnp.int32(0)
         if submap_enabled:
             flat_pts = state.ring_pts.reshape(-1, 2)
             flat_mask = state.ring_mask.reshape(-1)
@@ -193,20 +234,28 @@ def make_slam_step(
             else:
                 pred = new_pose
                 a_range, a_step = sub_rot_range, sub_rot_step
-            R_s, t_s = submap_rotation_search(
+            R_s, t_s, s_drop, t_drop = submap_rotation_search(
                 cur_pts, cur_mask, sub_pts, sub_mask, pred,
                 angle_range=a_range, angle_step=a_step,
                 fine_step=sub_rot_fine, voxel_size=sub_rot_voxel,
                 src_cap=sweep_src_cap, tgt_cap=sweep_tgt_cap,
+                with_overflow=True,
             )
+            sweep_drop = s_drop + t_drop
             cur_d, cur_dm = voxel_downsample(cur_pts, cur_mask, icp_voxel)
+            # the reference's ICP re-voxelizes the (already submap-voxel
+            # downsampled) submap at icp voxel (icp.py:150-151 on top of
+            # slam.py:103-108) — the second pass re-centers voxel means on
+            # the icp grid, which measurably changes the correction
+            sub_d, sub_dm = voxel_downsample(sub_pts, sub_mask, icp_voxel)
             res_sub = icp_core(
-                cur_d, cur_dm, sub_pts, sub_mask, R_s, t_s,
+                cur_d, cur_dm, sub_d, sub_dm, R_s, t_s,
                 method="point_to_point",
                 max_iterations=icp_max_iterations,
                 error_threshold=icp_error_threshold,
                 max_corr_dist=sub_corr_dist,
                 use_gate=True,
+                nn_impl=nn_impl,
             )
             pos_diff = jnp.linalg.norm(res_sub.t - new_pose[:2, 2])
             sub_yaw = jnp.arctan2(res_sub.R[1, 0], res_sub.R[0, 0])
@@ -263,11 +312,12 @@ def make_slam_step(
             ring_mask=ring_mask,
             ring_idx=ring_idx,
             log_odds=log_odds,
+            key=key,
         )
         out = StepOut(
             pose=new_pose, error=error, accepted=accepted,
             sub_applied=sub_applied, err_inc=err_inc, iters=res.iters,
-            sub_n=sub_n,
+            sub_n=sub_n, sweep_drop=sweep_drop,
         )
         return new_state, out
 

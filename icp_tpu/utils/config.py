@@ -156,6 +156,13 @@ class SlamConfig:
     # (dense is faster for small graphs; Schur is exact, so the crossover
     # is purely a perf knob)
     dist_node_threshold: int = 1024
+    # per-iteration ICP correspondence search inside the fused step:
+    # "xla" (distance-matrix; the default — the Pallas kernel inside the
+    # scanned fused program multiplies compile time ~3x on the remote
+    # backend for a ~7% step gain), "pallas"/"auto" (Pallas streaming NN;
+    # wins big for standalone icp_core at 10^4+ target points, see
+    # BENCHMARKS.md roofline)
+    nn_impl: str = "xla"
 
     @property
     def sweep_src_cap(self) -> int:
@@ -262,6 +269,7 @@ class SlamConfig:
         c.sweep_tgt_capacity = t.get("sweep_tgt_capacity", None)
         c.distributed = t.get("distributed", "auto")
         c.dist_node_threshold = t.get("dist_node_threshold", 1024)
+        c.nn_impl = t.get("nn_impl", "xla")
         return c
 
     @classmethod
