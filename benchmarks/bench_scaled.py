@@ -1,0 +1,119 @@
+"""BASELINE config #5 — ONE end-to-end scaled pipeline run.
+
+100k-point scans registered with the dense-grid ICP (models.icp.icp_large),
+occupancy map painted block-sharded across the device mesh
+(parallel.sharded_grid), thousands of keyframes optimized with the
+distributed exact Schur GN (parallel.dist_pose_graph) — the three scale
+axes that bench_suite measures separately, combined in one pipeline
+(icp_tpu/parallel/scaled.py). Reference anchors this scales past:
+/root/reference/utilities/icp.py:173 (per-iteration KDTree query) and
+/root/reference/utilities/pose_graph.py:92-127 (dense 3n x 3n solve).
+
+Emits one JSON line: scans/s, Schur GN-step ms, ATE (m).
+
+Env knobs: BENCH_SCALED_SCANS (default 1200), BENCH_SCALED_POINTS
+(default 100000), BENCH_SCALED_DEVICES (default all).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    from icp_tpu.parallel.mesh import make_mesh
+    from icp_tpu.parallel.scaled import ScaledPipeline
+    from icp_tpu.utils.synth import large_scan_stream
+
+    n_scans = int(os.environ.get("BENCH_SCALED_SCANS", 1200))
+    n_points = int(os.environ.get("BENCH_SCALED_POINTS", 100_000))
+    n_dev = int(os.environ.get("BENCH_SCALED_DEVICES",
+                               len(jax.devices())))
+    log(f"devices: {n_dev} x {jax.devices()[0].platform}, "
+        f"{n_scans} scans x {n_points} pts")
+
+    cap = 1 << int(np.ceil(np.log2(n_points)))
+    pipe = ScaledPipeline(
+        make_mesh(n_dev),
+        scan_capacity=cap, extent=100.0, map_resolution=0.25,
+        map_margin=10.0, max_range=35.0,
+        icp_max_corr=1.0, icp_max_iterations=30,
+        icp_grid_shape=(160, 160), icp_cell_cap=64, icp_qcells=8192,
+        map_ray_stride=int(os.environ.get("BENCH_SCALED_RAY_STRIDE", 8)),
+        kf_capacity=8192, kf_voxel=0.3,
+        lc_every=8, lc_min_interval=max(50, n_scans // 10),
+        lc_distance=8.0, lc_min_travel=60.0, lc_error_threshold=0.05,
+        dist_node_threshold=2,
+    )
+
+    stream = large_scan_stream(n_scans, n_points=n_points, extent=100.0,
+                               max_range=35.0, noise=0.02, seed=3)
+    gt = []
+    WARM = 3
+    t0 = None
+    for k, (scan, g) in enumerate(stream):
+        gt.append(g)
+        pipe.step(scan)
+        if k + 1 == WARM:          # compile landed; start the clock
+            np.asarray(pipe.log_odds[:1, :1])      # device sync
+            t0 = time.perf_counter()
+        if (k + 1) % 25 == 0:
+            np.asarray(pipe.log_odds[:1, :1])      # sync for honest timing
+            log(f"  scan {k + 1}/{n_scans}  lc={pipe.stats.loop_closures}  "
+                f"reg {pipe.stats.wall_registration:.1f}s  "
+                f"map {pipe.stats.wall_mapping:.1f}s")
+    np.asarray(pipe.log_odds[:1, :1])              # final sync
+    wall = time.perf_counter() - t0
+    sps = (n_scans - WARM) / wall
+    gt = np.stack(gt)
+
+    # distributed BA over the full keyframe graph
+    gn_ms = pipe.time_gn_step(reps=5) * 1000
+    pipe.optimize(n_iterations=15)
+
+    # ATE vs ground truth (both relative to the first pose)
+    x0, y0, th0 = gt[0]
+    c, s = np.cos(-th0), np.sin(-th0)
+    want = (gt[:, :2] - [x0, y0]) @ np.array([[c, -s], [s, c]]).T
+    est = np.stack([m[:2, 2] for m in pipe.trajectory])
+    n = min(len(est), len(want))
+    ate = float(np.sqrt(np.mean(np.sum((est[:n] - want[:n]) ** 2, axis=1))))
+
+    st = pipe.stats
+    log(f"scans/s {sps:.1f}  reg {st.wall_registration:.1f}s  "
+        f"map {st.wall_mapping:.1f}s  lc {st.wall_lc:.1f}s  "
+        f"ATE {ate:.3f} m  GN {gn_ms:.1f} ms")
+    print(json.dumps({
+        "metric": "scaled_pipeline_scans_per_sec",
+        "value": round(sps, 2),
+        "unit": "scans/s",
+        "n_scans": n_scans,
+        "points_per_scan": n_points,
+        "n_keyframes": len(pipe.kf_points),
+        "n_devices": n_dev,
+        "gn_step_ms": round(gn_ms, 2),
+        "ate_m": round(ate, 4),
+        "loop_closures": st.loop_closures,
+        "map_cells": pipe.ny * pipe.nx,
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

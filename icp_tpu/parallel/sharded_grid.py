@@ -78,7 +78,7 @@ def block_sharding(mesh: Mesh, axis: str = "d"):
 def raytrace_update_block_sharded(mesh: Mesh, log_odds, origin_cell,
                                   hit_cells, valid, l_hit, l_miss,
                                   lo_min, lo_max, *, max_steps: int,
-                                  axis: str = "d"):
+                                  axis: str = "d", ray_valid=None):
     """Occupancy update on a row-block-sharded grid (memory scaling).
 
     ``log_odds`` is (ny, nx) sharded ``P(axis, None)`` (ny divisible by the
@@ -97,13 +97,15 @@ def raytrace_update_block_sharded(mesh: Mesh, log_odds, origin_cell,
     n_dev = mesh.shape[axis]
     assert ny % n_dev == 0, f"ny={ny} must divide mesh size {n_dev}"
     block_ny = ny // n_dev
+    if ray_valid is None:
+        ray_valid = valid    # default: trace free space for every hit
 
     @partial(
         shard_map, mesh=mesh,
-        in_specs=(P(axis, None), P(), P(), P()),
+        in_specs=(P(axis, None), P(), P(), P(), P()),
         out_specs=P(axis, None),
     )
-    def _update(lo, oc, hc, vm):
+    def _update(lo, oc, hc, vm, rvm):
         # lo is this device's (block_ny, nx) row block
         r0 = lax.axis_index(axis) * block_ny
 
@@ -113,7 +115,7 @@ def raytrace_update_block_sharded(mesh: Mesh, log_odds, origin_cell,
         hx_s = jnp.where(hit_in, hx, nx)
         lo = lo.at[ly, hx_s].add(jnp.where(hit_in, l_hit, 0.0), mode="drop")
 
-        cells, active = bresenham_cells(oc, hc, vm, max_steps=max_steps)
+        cells, active = bresenham_cells(oc, hc, rvm, max_steps=max_steps)
         fx = cells[..., 0].reshape(-1)
         fy = cells[..., 1].reshape(-1) - r0
         act = active.reshape(-1)
@@ -122,4 +124,4 @@ def raytrace_update_block_sharded(mesh: Mesh, log_odds, origin_cell,
         lo = lo.at[fy, fx_s].add(jnp.where(in_b, l_miss, 0.0), mode="drop")
         return jnp.clip(lo, lo_min, lo_max)
 
-    return _update(log_odds, origin_cell, hit_cells, valid)
+    return _update(log_odds, origin_cell, hit_cells, valid, ray_valid)
