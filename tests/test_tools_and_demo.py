@@ -58,10 +58,39 @@ def test_pcplayer_tool(tmp_path):
                               np.full(30, 1.2)]) for _ in range(6)]
     _write_lidar_csv(f, scans)
     outdir = str(tmp_path / "frames")
-    r = _run(["tools/pcplayer.py", f, "-o", outdir, "--every", "2"])
+    r = _run(["tools/pcplayer.py", f, "--frames", "-o", outdir,
+              "--every", "2"])
     assert r.returncode == 0, r.stderr[-500:]
     assert os.path.exists(os.path.join(outdir, "overlay.png"))
     assert len([x for x in os.listdir(outdir) if x.startswith("scan_")]) >= 3
+
+
+def test_pcplayer_gif_playback(tmp_path):
+    """Animated playback path: headless -> GIF via the pillow writer."""
+    rng = np.random.default_rng(3)
+    f = str(tmp_path / "scans.csv")
+    scans = [np.column_stack([rng.uniform(-2, 2, (30, 2)),
+                              np.full(30, 1.2)]) for _ in range(5)]
+    _write_lidar_csv(f, scans)
+    gif = str(tmp_path / "play.gif")
+    r = _run(["tools/pcplayer.py", f, "--gif", gif, "--fps", "5"])
+    assert r.returncode == 0, r.stderr[-500:]
+    assert os.path.exists(gif) and os.path.getsize(gif) > 500
+
+
+def test_pcplayer_stream_loader(tmp_path):
+    """Background-thread loader yields every scan, in order."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tools.pcplayer import LidarFrameStream
+    rng = np.random.default_rng(4)
+    f = str(tmp_path / "scans.csv")
+    scans = [np.column_stack([rng.uniform(-2, 2, (25, 2)),
+                              np.full(25, 1.2)]) for _ in range(12)]
+    _write_lidar_csv(f, scans)
+    frames = LidarFrameStream(f, stride=1, prefetch=4).drain()
+    assert [i for i, _ in frames] == list(range(12))
+    assert all(fr.shape == (25, 2) for _, fr in frames)
 
 
 def test_pcman_tool(tmp_path):

@@ -56,8 +56,43 @@ def visualize_trajectory(path, out, width=1200):
     print(f"{path}: {len(xy)} poses -> {out}")
 
 
+def show_interactive(files, clouds, palette, size, background):
+    """Interactive multi-cloud window: legend + per-cloud visibility
+    checkboxes (reference pcview, meta-utils/pcview.py:38-91)."""
+    import matplotlib.pyplot as plt
+    from matplotlib.widgets import CheckButtons
+
+    fig, ax = plt.subplots(figsize=(10, 8))
+    fig.patch.set_facecolor(background)
+    ax.set_facecolor(background)
+    ax.set_aspect("equal")
+    artists = []
+    labels = []
+    for i, (f, c) in enumerate(zip(files, clouds)):
+        lbl = f"{os.path.basename(f)} ({len(c)})"
+        sc = ax.scatter(c[:, 0], c[:, 1], s=size,
+                        c=palette[i % len(palette)], label=lbl)
+        artists.append(sc)
+        labels.append(lbl)
+    leg = ax.legend(loc="upper right", facecolor="dimgray",
+                    labelcolor="white")
+    leg.set_draggable(True)
+    # visibility checkboxes, one per cloud
+    rax = fig.add_axes([0.01, 0.4, 0.16, 0.05 * max(len(labels), 1)])
+    rax.set_facecolor("dimgray")
+    checks = CheckButtons(rax, labels, [True] * len(labels))
+
+    def toggle(label):
+        idx = labels.index(label)
+        artists[idx].set_visible(not artists[idx].get_visible())
+        fig.canvas.draw_idle()
+
+    checks.on_clicked(toggle)
+    plt.show()
+
+
 def main(argv=None):
-    ap = argparse.ArgumentParser(description="Render point clouds to PNG")
+    ap = argparse.ArgumentParser(description="View/render point clouds")
     ap.add_argument("files", nargs="+", help="cloud CSV files")
     ap.add_argument("-o", "--out", default="clouds.png")
     ap.add_argument("--colors", default="green,blue,orange,red,cyan,magenta")
@@ -66,6 +101,8 @@ def main(argv=None):
     ap.add_argument("--background", default="black")
     ap.add_argument("--trajectory", action="store_true",
                     help="treat input as a .npy pose/position array")
+    ap.add_argument("--png", action="store_true",
+                    help="force PNG output even with a display")
     args = ap.parse_args(argv)
 
     if args.trajectory:
@@ -74,16 +111,23 @@ def main(argv=None):
         return
 
     clouds = [load_cloud(f) for f in args.files]
+    palette = args.colors.split(",")
+    for f, c in zip(args.files, clouds):
+        print(f"{f}: {len(c)} points")
+
+    from icp_tpu.utils.liveview import LiveMapView
+    if LiveMapView.available() and not args.png:
+        show_interactive(args.files, [c[:, :2] for c in clouds], palette,
+                         args.size, args.background)
+        return
+
     all_pts = np.concatenate([c[:, :2] for c in clouds if len(c)])
     canvas = Canvas.for_points(all_pts, width=args.width,
                                background=args.background)
-    palette = args.colors.split(",")
     for i, c in enumerate(clouds):
         canvas.scatter(c[:, :2], color=palette[i % len(palette)],
                        size=args.size)
     canvas.save(args.out)
-    for f, c in zip(args.files, clouds):
-        print(f"{f}: {len(c)} points")
     print(f"wrote {args.out}")
 
 
