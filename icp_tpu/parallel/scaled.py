@@ -144,15 +144,15 @@ class ScaledPipeline:
             ], axis=1).astype(jnp.int32)
             origin_cell = jnp.floor(
                 (t - jnp.asarray([minx, miny])) * inv_res).astype(jnp.int32)
-            ray_valid = mask
-            if stride > 1:
-                ray_valid = mask & (
-                    jnp.arange(mask.shape[0]) % stride == 0)
+            # static stride SLICE (not mask): the Bresenham planes and the
+            # free-cell scatter shrink by the stride factor
+            ray_cells = hit_cells[::stride]
+            ray_valid = mask[::stride]
             return raytrace_update_block_sharded(
                 mesh_, grid, origin_cell, hit_cells, mask,
                 jnp.float32(l_hit), jnp.float32(l_miss),
                 jnp.float32(lo_min), jnp.float32(lo_max), max_steps=ms,
-                ray_valid=ray_valid,
+                ray_cells=ray_cells, ray_valid=ray_valid,
             )
 
         self._paint = _paint

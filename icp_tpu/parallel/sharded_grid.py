@@ -78,7 +78,8 @@ def block_sharding(mesh: Mesh, axis: str = "d"):
 def raytrace_update_block_sharded(mesh: Mesh, log_odds, origin_cell,
                                   hit_cells, valid, l_hit, l_miss,
                                   lo_min, lo_max, *, max_steps: int,
-                                  axis: str = "d", ray_valid=None):
+                                  axis: str = "d", ray_cells=None,
+                                  ray_valid=None):
     """Occupancy update on a row-block-sharded grid (memory scaling).
 
     ``log_odds`` is (ny, nx) sharded ``P(axis, None)`` (ny divisible by the
@@ -92,20 +93,28 @@ def raytrace_update_block_sharded(mesh: Mesh, log_odds, origin_cell,
 
     Reference semantics: OccupancyGrid2D.update_scan
     (/root/reference/utilities/mapping.py:103-141).
+
+    ``ray_cells``/``ray_valid``: optionally trace free space from a
+    SMALLER (statically sliced) ray set than the hit set — at 10^5 points
+    per scan the free-space rays are hugely redundant against a coarse
+    grid, and shrinking the array (not just masking it) shrinks the
+    Bresenham planes and the scatter by the same factor.
     """
     ny, nx = log_odds.shape
     n_dev = mesh.shape[axis]
     assert ny % n_dev == 0, f"ny={ny} must divide mesh size {n_dev}"
     block_ny = ny // n_dev
-    if ray_valid is None:
-        ray_valid = valid    # default: trace free space for every hit
+    if ray_cells is None:
+        # default: trace free space for every hit
+        ray_cells, ray_valid = hit_cells, valid
+    assert ray_valid is not None, "ray_cells requires ray_valid"
 
     @partial(
         shard_map, mesh=mesh,
-        in_specs=(P(axis, None), P(), P(), P(), P()),
+        in_specs=(P(axis, None), P(), P(), P(), P(), P()),
         out_specs=P(axis, None),
     )
-    def _update(lo, oc, hc, vm, rvm):
+    def _update(lo, oc, hc, vm, rc, rvm):
         # lo is this device's (block_ny, nx) row block
         r0 = lax.axis_index(axis) * block_ny
 
@@ -115,7 +124,7 @@ def raytrace_update_block_sharded(mesh: Mesh, log_odds, origin_cell,
         hx_s = jnp.where(hit_in, hx, nx)
         lo = lo.at[ly, hx_s].add(jnp.where(hit_in, l_hit, 0.0), mode="drop")
 
-        cells, active = bresenham_cells(oc, hc, rvm, max_steps=max_steps)
+        cells, active = bresenham_cells(oc, rc, rvm, max_steps=max_steps)
         fx = cells[..., 0].reshape(-1)
         fy = cells[..., 1].reshape(-1) - r0
         act = active.reshape(-1)
@@ -124,4 +133,5 @@ def raytrace_update_block_sharded(mesh: Mesh, log_odds, origin_cell,
         lo = lo.at[fy, fx_s].add(jnp.where(in_b, l_miss, 0.0), mode="drop")
         return jnp.clip(lo, lo_min, lo_max)
 
-    return _update(log_odds, origin_cell, hit_cells, valid, ray_valid)
+    return _update(log_odds, origin_cell, hit_cells, valid, ray_cells,
+                   ray_valid)

@@ -283,6 +283,55 @@ def test_pose_graph_total_error_matches_reference(ref):
         rpg.total_error(), 1.0)
 
 
+# ── services (IMU yaw lookup, lidar parse) ───────────────────────────────
+
+
+def test_imu_service_matches_reference(ref, tmp_path):
+    """Same CSV through both IMU services: identical yaw picks for a grid
+    of query times (incl. between-sample ties resolved the same way,
+    services/imu_service.py:51-65)."""
+    sys.path.insert(0, REF)
+    from services.imu_service import IMUService as RefIMU
+    from icp_tpu.services.imu import IMUService
+
+    rng = np.random.default_rng(13)
+    t0 = 1_000_000_000
+    ts = t0 + np.sort(rng.choice(10_000_000, 200, replace=False))
+    yaws = rng.uniform(-np.pi, np.pi, 200)
+    f = tmp_path / "imu.csv"
+    with open(f, "w") as fh:
+        for t, y in zip(ts, yaws):
+            fh.write(f"{t};0.0;0.0;{np.sin(y / 2):.9f};{np.cos(y / 2):.9f}\n")
+
+    a = RefIMU(str(f))
+    b = IMUService(str(f))
+    queries = np.concatenate([
+        ts - t0,                                       # exact samples
+        rng.integers(0, 10_000_000, 300),              # arbitrary
+        (ts[:-1] + ts[1:]) // 2 - t0,                  # midpoints (ties)
+    ])
+    got = b.yaws_at(queries)
+    want = np.array([a.yaw_at(int(q)) for q in queries])
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_lidar_parse_matches_reference(ref, tmp_path):
+    sys.path.insert(0, REF)
+    from services.lidar_service import parse_line_lidar_data
+    from icp_tpu.services.lidar import parse_lidar_line
+
+    rng = np.random.default_rng(14)
+    pts = rng.uniform(-5, 5, (40, 3))
+    pts[7] = 0.0                 # all-zero padding triple must be dropped
+    pts[21] = 0.0
+    line = "123456789;" + ";".join(
+        f"{v:.4f}" for row in pts for v in row)
+    ts_ref, pts_ref = parse_line_lidar_data(line)
+    ts_ours, pts_ours = parse_lidar_line(line)
+    assert int(ts_ref) == ts_ours
+    np.testing.assert_allclose(pts_ours, pts_ref, atol=1e-6)
+
+
 # ── occupancy grid ───────────────────────────────────────────────────────
 
 
