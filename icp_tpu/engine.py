@@ -488,16 +488,12 @@ class SlamEngine:
         if self.verbose:
             print(f"  LC candidates for scan {cur_idx}: "
                   + ", ".join(f"#{ci}({cd:.1f}m)" for ci, cd in candidates))
-        batched = cfg.alignment_method in ("rotation_search", "none")
-        if batched:
-            verdicts = self._lc_verify_batched(points, candidates)
+        # every alignment mode verifies candidates in one batched dispatch
+        # (the verifier runs feature alignment per lane with its own key)
+        verdicts = self._lc_verify_batched(points, candidates)
         for k, (cand_idx, cand_dist) in enumerate(candidates):
-            if batched:
-                r_lc, t_lc, err_lc, it_lc = verdicts[k]
-                self.stats.icp_iters += it_lc
-            else:
-                cand_points = self.scan_history[cand_idx].points
-                r_lc, t_lc, err_lc = self._run_icp_pair(points, cand_points)
+            r_lc, t_lc, err_lc, it_lc = verdicts[k]
+            self.stats.icp_iters += it_lc
             if self.verbose:
                 mark = "ok" if err_lc < cfg.lc_error_threshold else "x"
                 print(f"    LC scan {cur_idx}<->{cand_idx}: "
