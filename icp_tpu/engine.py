@@ -696,16 +696,6 @@ class SlamEngine:
             key=self._state.key,
         )
 
-    def _imu_for(self, rel_time_us, prev_rel):
-        """(imu_yaw, imu_delta) for a scan, host-side (slam.py:455-463)."""
-        if self.imu is None or rel_time_us is None:
-            return None, None
-        raw = self.imu.yaw_at(rel_time_us)
-        yaw = (raw - self.imu_yaw_offset + np.pi) % (2 * np.pi) - np.pi
-        delta = (self.imu.delta_yaw(prev_rel, rel_time_us)
-                 if prev_rel is not None else None)
-        return yaw, delta
-
     def _bookkeep_fused(self, points_2d, out_pose, out_error, out_accepted,
                         out_sub, out_err_inc, out_iters) -> bool:
         """Host bookkeeping for one fused-step result; returns accepted."""
