@@ -136,19 +136,17 @@ def main():
         f"({base_wall:.1f}s for {N_BASE} scans)")
 
     # ── accuracy: ATE vs ground truth (BASELINE metric: scans/sec + ATE) ──
-    x0, y0, th0 = gt[0]
-    c, s = np.cos(-th0), np.sin(-th0)
-    gt_rel = (gt[:, :2] - [x0, y0]) @ np.array([[c, -s], [s, c]]).T
+    from icp_tpu.utils.metrics import ate as _ate_fn, rpe as _rpe_fn
     est = np.stack([p[:2, 2] for p in engine.pose_trajectory])
     n = len(est)
-    ate = float(np.sqrt(np.mean(
-        np.sum((est - gt_rel[1:n + 1]) ** 2, axis=1))))
+    ate = _ate_fn(est, gt)
+    rpe_t, rpe_r = _rpe_fn(np.stack(engine.pose_trajectory), gt)
     base_est = np.stack([p[:2, 2] for p in base.trajectory])
     nb = len(base_est)
-    base_ate = float(np.sqrt(np.mean(
-        np.sum((base_est - gt_rel[1:nb + 1]) ** 2, axis=1))))
+    base_ate = _ate_fn(base_est, gt)
     log(f"ATE vs ground truth: ours {ate:.3f} m ({n} poses), "
-        f"numpy baseline {base_ate:.3f} m ({nb} poses)")
+        f"numpy baseline {base_ate:.3f} m ({nb} poses); "
+        f"RPE {rpe_t * 1000:.1f} mm / {np.degrees(rpe_r):.3f} deg per step")
 
     result = {
         "metric": "full_pipeline_scans_per_sec",
@@ -157,6 +155,8 @@ def main():
         "vs_baseline": round(ours / baseline, 2),
         "baseline_scans_per_sec": round(baseline, 3),
         "ate_m": round(ate, 4),
+        "rpe_trans_m": round(rpe_t, 5),
+        "rpe_rot_deg": round(float(np.degrees(rpe_r)), 4),
         "baseline_ate_m": round(base_ate, 4),
         "n_scans": n_timed,
         "backend": __import__("jax").default_backend(),

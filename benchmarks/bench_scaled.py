@@ -88,12 +88,9 @@ def main():
     pipe.optimize(n_iterations=15)
 
     # ATE vs ground truth (both relative to the first pose)
-    x0, y0, th0 = gt[0]
-    c, s = np.cos(-th0), np.sin(-th0)
-    want = (gt[:, :2] - [x0, y0]) @ np.array([[c, -s], [s, c]]).T
+    from icp_tpu.utils.metrics import ate as ate_fn
     est = np.stack([m[:2, 2] for m in pipe.trajectory])
-    n = min(len(est), len(want))
-    ate = float(np.sqrt(np.mean(np.sum((est[:n] - want[:n]) ** 2, axis=1))))
+    ate = ate_fn(est, gt, gt_offset=0)
 
     st = pipe.stats
     log(f"scans/s {sps:.1f}  reg {st.wall_registration:.1f}s  "

@@ -46,13 +46,9 @@ def _ensure_data():
 
 def _ate(engine, gt):
     """Trajectory ATE (m) vs ground truth, both relative to the first pose."""
-    x0, y0, th0 = gt[0]
-    c, s = np.cos(-th0), np.sin(-th0)
-    gt_rel = (gt[:, :2] - [x0, y0]) @ np.array([[c, -s], [s, c]]).T
+    from icp_tpu.utils.metrics import ate
     est = np.stack([p[:2, 2] for p in engine.pose_trajectory])
-    n = len(est)
-    return float(np.sqrt(np.mean(
-        np.sum((est - gt_rel[1:n + 1]) ** 2, axis=1))))
+    return ate(est, gt)
 
 
 def bench_teapot():

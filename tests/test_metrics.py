@@ -1,0 +1,93 @@
+"""Trajectory metric tests (icp_tpu/utils/metrics.py): ATE/RPE semantics.
+
+The reference has no accuracy evaluation at all (it prints per-scan ICP
+error, /root/reference/slam.py:644-647); these metrics back every bench
+row, so their conventions (first-pose anchoring, gt_offset, truncation)
+are pinned here.
+"""
+import numpy as np
+import pytest
+
+from icp_tpu.utils.metrics import ate, gt_relative, poses_to_xyt, rpe
+
+
+def _mat(x, y, th):
+    c, s = np.cos(th), np.sin(th)
+    return np.array([[c, -s, x], [s, c, y], [0, 0, 1.0]])
+
+
+def _random_traj(n, seed=0, step=0.3):
+    rng = np.random.default_rng(seed)
+    th = np.cumsum(rng.uniform(-0.2, 0.2, n))
+    xy = np.cumsum(
+        step * np.stack([np.cos(th), np.sin(th)], axis=1), axis=0)
+    return np.concatenate([xy, th[:, None]], axis=1)
+
+
+def test_poses_to_xyt_roundtrip():
+    traj = _random_traj(50, seed=3)
+    mats = np.stack([_mat(*p) for p in traj])
+    back = poses_to_xyt(mats)
+    np.testing.assert_allclose(back[:, :2], traj[:, :2], atol=1e-12)
+    np.testing.assert_allclose(
+        np.angle(np.exp(1j * (back[:, 2] - traj[:, 2]))), 0, atol=1e-12)
+
+
+def test_gt_relative_anchors_first_pose():
+    traj = _random_traj(20, seed=1)
+    rel = gt_relative(traj)
+    np.testing.assert_allclose(rel[0], 0, atol=1e-12)
+    # pairwise distances are preserved (rigid change of frame)
+    d0 = np.linalg.norm(np.diff(traj[:, :2], axis=0), axis=1)
+    d1 = np.linalg.norm(np.diff(rel[:, :2], axis=0), axis=1)
+    np.testing.assert_allclose(d0, d1, atol=1e-12)
+
+
+def test_ate_zero_for_exact_estimate():
+    gt = _random_traj(30, seed=2)
+    est = gt_relative(gt)[1:, :2]          # engine frame, offset 1
+    assert ate(est, gt) < 1e-12
+
+
+def test_ate_equals_constant_offset():
+    gt = _random_traj(30, seed=4)
+    est = gt_relative(gt)[1:, :2] + [0.3, -0.4]
+    assert abs(ate(est, gt) - 0.5) < 1e-9
+
+
+def test_ate_truncates_to_common_length():
+    gt = _random_traj(30, seed=5)
+    full = gt_relative(gt)[1:, :2]
+    assert ate(full[:10], gt) < 1e-12      # engine stopped early
+    gt_short = gt[:11]                     # gt shorter than the estimate
+    assert ate(full, gt_short) < 1e-12
+
+
+def test_rpe_separates_drift_from_local_error():
+    gt = _random_traj(200, seed=6)
+    rel = gt_relative(gt)[1:]
+    # slow global drift: +1 mm/step in x, perfect local increments except
+    # for the rotation the drift itself induces (negligible here)
+    drift = rel.copy()
+    drift[:, 0] += 0.001 * np.arange(len(rel))
+    t_ate = ate(drift[:, :2], gt)
+    t_rpe, r_rpe = rpe(drift, gt)
+    assert t_ate > 0.05                    # ATE sees the accumulated drift
+    assert t_rpe < 0.0015                  # RPE sees only the 1 mm/step
+    assert r_rpe < 1e-9
+    # conversely: zero-mean local noise moves RPE but barely moves ATE
+    rng = np.random.default_rng(7)
+    noisy = rel.copy()
+    noisy[:, :2] += rng.normal(0, 0.01, (len(rel), 2))
+    t_rpe_n, _ = rpe(noisy, gt)
+    assert t_rpe_n > 0.005
+
+
+def test_rpe_zero_for_exact_estimate_and_accepts_matrices():
+    gt = _random_traj(40, seed=8)
+    rel = gt_relative(gt)[1:]
+    mats = np.stack([_mat(*p) for p in rel])
+    t, r = rpe(mats, gt)
+    assert t < 1e-12 and r < 1e-12
+    with pytest.raises(ValueError):
+        rpe(rel[:2], gt, delta=5)
