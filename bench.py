@@ -139,11 +139,12 @@ def main():
     from icp_tpu.utils.metrics import ate as _ate_fn, rpe as _rpe_fn
     est = np.stack([p[:2, 2] for p in engine.pose_trajectory])
     n = len(est)
-    ate = _ate_fn(est, gt)
-    rpe_t, rpe_r = _rpe_fn(np.stack(engine.pose_trajectory), gt)
+    ate = _ate_fn(est, gt, indices=engine.pose_scan_indices)
+    rpe_t, rpe_r = _rpe_fn(np.stack(engine.pose_trajectory), gt,
+                           indices=engine.pose_scan_indices)
     base_est = np.stack([p[:2, 2] for p in base.trajectory])
     nb = len(base_est)
-    base_ate = _ate_fn(base_est, gt)
+    base_ate = _ate_fn(base_est, gt, indices=base.traj_indices)
     log(f"ATE vs ground truth: ours {ate:.3f} m ({n} poses), "
         f"numpy baseline {base_ate:.3f} m ({nb} poses); "
         f"RPE {rpe_t * 1000:.1f} mm / {np.degrees(rpe_r):.3f} deg per step")

@@ -201,6 +201,7 @@ class BaselineSlam:
         self.k = 0
         self.submap = []
         self.trajectory = []
+        self.traj_indices = []      # input-stream index per trajectory pose
 
     def step(self, points):
         cfg = self.cfg
@@ -264,5 +265,6 @@ class BaselineSlam:
         if len(self.submap) > cfg.get("submap_size", 30):
             self.submap.pop(0)
         self.trajectory.append(self.global_pose.copy())
+        self.traj_indices.append(self.k)
         self.prev = points
         self.k += 1

@@ -48,7 +48,7 @@ def _ate(engine, gt):
     """Trajectory ATE (m) vs ground truth, both relative to the first pose."""
     from icp_tpu.utils.metrics import ate
     est = np.stack([p[:2, 2] for p in engine.pose_trajectory])
-    return ate(est, gt)
+    return ate(est, gt, indices=engine.pose_scan_indices)
 
 
 def bench_teapot():

@@ -89,6 +89,8 @@ def _pad_fixed(points: np.ndarray, capacity: int):
 class ScanRecord:
     points: np.ndarray          # (n, 2) sensor-frame
     pose: np.ndarray            # (3, 3) global
+    scan_idx: int = 0           # 0-based input-stream index (rejected scans
+                                # leave gaps — used for honest ATE alignment)
 
 
 @dataclass
@@ -719,7 +721,8 @@ class SlamEngine:
             np.eye(3, dtype=np.float32) / max(out_error, 1e-6),
         )
         self.scan_history.append(
-            ScanRecord(points_2d.copy(), self.global_pose.copy())
+            ScanRecord(points_2d.copy(), self.global_pose.copy(),
+                       scan_idx=self.stats.scans)
         )
         if self.verbose:
             pos = self.global_pose[:2, 2]
@@ -992,6 +995,15 @@ class SlamEngine:
             self.stats.wall_loop_closure += time.perf_counter() - t2
         return True
 
+    @property
+    def pose_scan_indices(self) -> np.ndarray:
+        """0-based input-stream index of each pose in ``pose_trajectory``.
+        Rejected scans leave gaps, so aligning estimate k with ground-truth
+        row k+1 drifts after the first rejection; pass this to
+        ``icp_tpu.utils.metrics.ate(..., indices=...)`` instead."""
+        return np.array([r.scan_idx for r in self.scan_history[1:]],
+                        dtype=np.int64)
+
     # ── checkpoint / resume (new vs reference, SURVEY.md §5) ─────────────
     def save_checkpoint(self, path: str):
         """Persist full SLAM state (poses, scans, graph, grid) to one npz."""
@@ -1008,6 +1020,8 @@ class SlamEngine:
             if n else np.zeros((0, 3, 3), np.float32),
             scan_lens=lens,
             scan_points=flat,
+            scan_indices=np.array([r.scan_idx for r in self.scan_history],
+                                  np.int64),
             log_odds=(np.asarray(self.mapper.log_odds)
                       if self.mapper is not None else np.zeros((0, 0))),
             grid_meta=np.array(
@@ -1037,12 +1051,16 @@ class SlamEngine:
         poses = d["poses"]
         self.scan_history = []
         off = 0
+        idxs = (d["scan_indices"] if "scan_indices" in d
+                else np.arange(len(lens)))
         for i, ln in enumerate(lens):
             self.scan_history.append(
                 ScanRecord(flat[off:off + ln].astype(np.float32),
-                           poses[i].astype(np.float32)))
+                           poses[i].astype(np.float32),
+                           scan_idx=int(idxs[i])))
             off += ln
         self.pose_trajectory = [r.pose for r in self.scan_history[1:]]
+        self.stats.scans = int(idxs[-1]) if len(idxs) else 0
         gm = d["grid_meta"]
         if d["log_odds"].size:
             if self._ray_bound is None:
@@ -1110,7 +1128,8 @@ class SlamEngine:
             if cfg.submap_enabled:
                 self.submap_buffer.append(gp.copy())
             self.scan_history.append(
-                ScanRecord(points_2d.copy(), self.global_pose.copy())
+                ScanRecord(points_2d.copy(), self.global_pose.copy(),
+                           scan_idx=0)
             )
             self.pose_graph.add_node(_pose_to_vec_np(self.global_pose))
             if self._fused_eligible:
@@ -1210,7 +1229,8 @@ class SlamEngine:
         t1 = time.perf_counter()
         gp = points_2d @ self.global_pose[:2, :2].T + self.global_pose[:2, 2]
         self.scan_history.append(
-            ScanRecord(points_2d.copy(), self.global_pose.copy())
+            ScanRecord(points_2d.copy(), self.global_pose.copy(),
+                       scan_idx=self.stats.scans + 1)
         )
         if self.mapper is not None:
             self.mapper.update_scan(self.global_pose[:2, 2], gp)

@@ -43,25 +43,37 @@ def gt_relative(gt_xyt: np.ndarray) -> np.ndarray:
     return np.concatenate([xy, th[:, None]], axis=1)
 
 
-def ate(est_xy, gt_xyt, gt_offset: int = 1) -> float:
+def ate(est_xy, gt_xyt, gt_offset: int = 1, indices=None) -> float:
     """RMSE translational Absolute Trajectory Error (meters).
 
     ``est_xy[k]`` is compared against ground-truth pose ``k + gt_offset``
     expressed in the first pose's frame. Extra poses on either side (an
     engine that stopped early, ground truth one longer than the estimate)
     are ignored via truncation to the common length.
+
+    ``indices`` (optional, overrides ``gt_offset``): per-estimate
+    ground-truth row ids. A SLAM engine that *rejects* scans appends no
+    pose for them, so positional alignment drifts by one ground-truth row
+    per rejection; ``SlamEngine.pose_scan_indices`` provides the exact
+    mapping.
     """
     est_xy = np.asarray(est_xy, dtype=np.float64)
     if est_xy.ndim == 3:            # a stack of 3x3 poses
         est_xy = poses_to_xyt(est_xy)[:, :2]
     est_xy = est_xy[:, :2]
     gt_rel = gt_relative(gt_xyt)[:, :2]
-    n = min(len(est_xy), len(gt_rel) - gt_offset)
-    d = est_xy[:n] - gt_rel[gt_offset:gt_offset + n]
+    if indices is not None:
+        indices = np.asarray(indices)
+        n = min(len(est_xy), len(indices))
+        keep = indices[:n] < len(gt_rel)
+        d = est_xy[:n][keep] - gt_rel[indices[:n][keep]]
+    else:
+        n = min(len(est_xy), len(gt_rel) - gt_offset)
+        d = est_xy[:n] - gt_rel[gt_offset:gt_offset + n]
     return float(np.sqrt(np.mean(np.sum(d * d, axis=1))))
 
 
-def rpe(est_xyt, gt_xyt, delta: int = 1, gt_offset: int = 1):
+def rpe(est_xyt, gt_xyt, delta: int = 1, gt_offset: int = 1, indices=None):
     """Relative Pose Error over windows of ``delta`` frames.
 
     For each i, the error transform is
@@ -69,14 +81,27 @@ def rpe(est_xyt, gt_xyt, delta: int = 1, gt_offset: int = 1):
     ``(trans_rmse_m, rot_rmse_rad)`` over all windows. Unlike ATE this is
     insensitive to slow global drift and measures local odometry quality —
     the submap correction moves ATE, scan-to-scan registration moves RPE.
+
+    ``indices`` (optional): per-estimate ground-truth row ids (see ``ate``);
+    windows then compare est pose pairs against the SAME ground-truth row
+    pairs, so a rejected scan between two estimates doesn't misattribute
+    the skipped motion as error.
     """
     est_xyt = np.asarray(est_xyt, dtype=np.float64)
     if est_xyt.ndim == 3:
         est_xyt = poses_to_xyt(est_xyt)
     gt_rel = gt_relative(gt_xyt)
-    n = min(len(est_xyt), len(gt_rel) - gt_offset)
-    est = est_xyt[:n]
-    gt = gt_rel[gt_offset:gt_offset + n]
+    if indices is not None:
+        indices = np.asarray(indices)
+        n = min(len(est_xyt), len(indices))
+        keep = indices[:n] < len(gt_rel)
+        est = est_xyt[:n][keep]
+        gt = gt_rel[indices[:n][keep]]
+        n = len(est)
+    else:
+        n = min(len(est_xyt), len(gt_rel) - gt_offset)
+        est = est_xyt[:n]
+        gt = gt_rel[gt_offset:gt_offset + n]
     if n <= delta:
         raise ValueError(f"need more than delta={delta} poses, got {n}")
     d_est = _rel(est[:-delta], est[delta:])

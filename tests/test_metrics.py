@@ -83,6 +83,91 @@ def test_rpe_separates_drift_from_local_error():
     assert t_rpe_n > 0.005
 
 
+def test_indexed_alignment_survives_rejections():
+    """A rejected scan appends no pose; positional alignment then pairs
+    every later estimate with the wrong ground-truth row. With explicit
+    indices the metric stays exact."""
+    gt = _random_traj(60, seed=9)
+    rel = gt_relative(gt)
+    kept = np.array([k for k in range(1, 60) if k not in (10, 11, 37)])
+    est = rel[kept]
+    # positional mapping is now wrong past the first gap ...
+    assert ate(est[:, :2], gt) > 0.01
+    # ... indexed mapping is exact, for ATE and RPE alike
+    assert ate(est[:, :2], gt, indices=kept) < 1e-12
+    t, r = rpe(est, gt, indices=kept)
+    assert t < 1e-12 and r < 1e-12
+    # out-of-range indices are dropped, not an error
+    assert ate(est[:, :2], gt[:40], indices=kept) < 1e-12
+
+
+def test_engine_pose_scan_indices_contract(tmp_path):
+    """SlamEngine records the input-stream index of every accepted pose,
+    monotone and gap-marking, and it round-trips through checkpoints."""
+    import jax
+    from icp_tpu.engine import SlamEngine, filter_and_flatten
+    from icp_tpu.services.lidar import LidarService
+    from icp_tpu.utils.config import SlamConfig
+    from icp_tpu.utils.synth import generate_sequence
+
+    lidar_f = str(tmp_path / "l.csv")
+    imu_f = str(tmp_path / "i.csv")
+    generate_sequence(lidar_f, imu_f, n_scans=14, n_beams=180,
+                      noise=0.005, trajectory="straight", seed=11)
+    cfg = SlamConfig.from_dict({
+        "icp": {"voxel_size": 0.08, "max_iterations": 10,
+                "error_reject_threshold": 0.5},
+        "features": {"method": "rotation_search",
+                     "rotation_voxel_size": 0.3,
+                     "angle_step_coarse": 12.0, "angle_step_fine": 4.0},
+        "submap": {"enabled": False}, "loop_closure": {"enabled": False},
+        "filter": {"z_min": 0.0, "z_max": 3.0},
+    })
+    eng = SlamEngine(cfg, verbose=False)
+    scans = [filter_and_flatten(pts, 0.0, 3.0)
+             for _, _, pts in LidarService(lidar_f).scans()]
+    # a 10 cm blob can't register against a room-sized scan: forces a
+    # rejection (and so a gap in the index stream) at position 5
+    rng = np.random.default_rng(0)
+    scans[5] = rng.uniform(-0.05, 0.05, (64, 2)).astype(np.float32)
+    for k, pts in enumerate(scans):
+        eng.process_scan(pts, float(k * 1e5))
+    eng.finish()
+    assert eng.stats.rejected > 0
+    idx = eng.pose_scan_indices
+    assert len(idx) == len(eng.pose_trajectory)
+    assert len(idx) > 0 and np.all(np.diff(idx) >= 1)
+    assert 5 not in idx
+    assert eng.scan_history[0].scan_idx == 0
+    # accepted+rejected covers every non-first scan exactly once
+    assert eng.stats.rejected + len(idx) == eng.stats.scans
+
+    ck = str(tmp_path / "ck.npz")
+    eng.save_checkpoint(ck)
+    eng2 = SlamEngine(cfg, verbose=False)
+    eng2.load_checkpoint(ck)
+    np.testing.assert_array_equal(eng2.pose_scan_indices, idx)
+    assert eng2.stats.scans == int(idx[-1])
+
+    # the modular path (tpu.fused: false) must assign identical indices
+    cfg_mod = SlamConfig.from_dict({
+        "icp": {"voxel_size": 0.08, "max_iterations": 10,
+                "error_reject_threshold": 0.5},
+        "features": {"method": "rotation_search",
+                     "rotation_voxel_size": 0.3,
+                     "angle_step_coarse": 12.0, "angle_step_fine": 4.0},
+        "submap": {"enabled": False}, "loop_closure": {"enabled": False},
+        "filter": {"z_min": 0.0, "z_max": 3.0},
+        "tpu": {"fused": False},
+    })
+    eng3 = SlamEngine(cfg_mod, verbose=False)
+    assert not eng3._fused_eligible
+    for k, pts in enumerate(scans):
+        eng3.process_scan(pts, float(k * 1e5))
+    eng3.finish()
+    np.testing.assert_array_equal(eng3.pose_scan_indices, idx)
+
+
 def test_rpe_zero_for_exact_estimate_and_accepts_matrices():
     gt = _random_traj(40, seed=8)
     rel = gt_relative(gt)[1:]
