@@ -176,7 +176,11 @@ def _run_pipeline(submap: bool, lc: bool, method: str = "rotation_search",
                          "min_interval": 80, "min_cumulative_travel": 6.0,
                          "max_candidates": 5, "error_threshold": 0.08,
                          "optimization_iterations": 30,
-                         "information_scale": 5.0},
+                         "information_scale": 5.0,
+                         # re-closing every scan in a revisited area drags
+                         # ATE (each re-closure repeats the measurement
+                         # bias); one closure per revisit is enough
+                         "cooldown": 30},
         "filter": {"z_min": 0.5, "z_max": 2.0},
         "mapping": {"resolution": 0.05, "margin": 50.0},
         "tpu": {"scan_capacity": 768, "submap_capacity": 4096,

@@ -162,6 +162,7 @@ class SlamEngine:
         self._last_enq_rel = None         # rel time of last enqueued scan
         self._map_dirty = False           # closure happened; replay on read
         self._lc_verify_fn = None         # batched LC verification program
+        self._last_lc_accept = None       # node idx of last accepted closure
         self._ray_bound: int | None = None  # resolved max_ray_cells
         self._warned_truncate = False
         self._live_view = None            # interactive window (if display)
@@ -484,6 +485,9 @@ class SlamEngine:
         optimistic batched path verify mid-chunk and roll back only on
         actual acceptance."""
         cfg = self.cfg
+        if (cfg.lc_cooldown > 0 and self._last_lc_accept is not None
+                and cur_idx - self._last_lc_accept < cfg.lc_cooldown):
+            return None
         candidates = self._find_loop_candidates(cur_idx, cur_xy)
         if not candidates:
             return None
@@ -518,6 +522,7 @@ class SlamEngine:
             cfg.lc_info_scale / max(err_lc, 1e-6)
         )
         self.pose_graph.add_edge(cur_idx, cand_idx, z_lc, lc_info)
+        self._last_lc_accept = cur_idx
         if self.verbose:
             print(f"  * Loop closure accepted: scan {cur_idx} <-> "
                   f"scan {cand_idx} (dist={cand_dist:.2f}m, "

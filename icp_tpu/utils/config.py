@@ -85,6 +85,12 @@ class SlamConfig:
     lc_opt_iters: int = 20
     lc_info_scale: float = 10.0
     lc_min_travel: float = 20.0
+    # new vs reference: suppress further closures for this many keyframes
+    # after an accepted one. The reference re-closes on EVERY scan while
+    # the robot sits in a revisited area (slam.py:565-620), piling up
+    # correlated edges whose measurement bias drags the optimized
+    # trajectory; 0 keeps reference behavior.
+    lc_cooldown: int = 0
 
     # filter
     z_min: float = 0.2
@@ -226,6 +232,7 @@ class SlamConfig:
         c.lc_opt_iters = lc.get("optimization_iterations", 20)
         c.lc_info_scale = lc.get("information_scale", 10.0)
         c.lc_min_travel = lc.get("min_cumulative_travel", 20.0)
+        c.lc_cooldown = lc.get("cooldown", 0)
 
         c.z_min = _get(cfg, "filter", "z_min", 0.2)
         c.z_max = _get(cfg, "filter", "z_max", 2.0)
