@@ -28,15 +28,24 @@ from icp_tpu.ops.voxel import voxel_downsample
 from icp_tpu.utils.masking import BIG
 
 
-@partial(jax.jit, static_argnames=("top_n",))
+@partial(jax.jit, static_argnames=("top_n", "block"))
 def extract_keypoints(points, mask, curvatures, *, top_n: int = 100,
-                      min_dist=0.3):
+                      min_dist=0.3, block: int = 32):
     """Greedy descending-curvature selection with spatial NMS.
 
     Reference: extract_keypoints (/root/reference/utilities/features.py:57-71).
     Returns (kp_idx (top_n,) int32 original indices, kp_mask (top_n,) bool).
     Selection order (descending curvature) is preserved, matching the
     reference's output ordering.
+
+    Greedy NMS is inherently sequential, but a length-N ``lax.scan`` with a
+    tiny body is pure latency on TPU. Instead, candidates are processed in
+    blocks of ``block``: one vectorized (B, N) clash check against
+    already-kept points per block, then the B-step greedy recurrence
+    unrolled over the block's (B, B) in-block distances. Identical output
+    to the per-point loop (a point clashes either with an earlier block —
+    the matrix check — or with an earlier point of its own block — the
+    unrolled check), with N/B scan steps instead of N.
     """
     n = points.shape[0]
     curv = jnp.where(mask, curvatures, -1.0)
@@ -45,19 +54,38 @@ def extract_keypoints(points, mask, curvatures, *, top_n: int = 100,
     mask_sorted = mask[order]
     min_d2 = min_dist * min_dist
 
-    def step(carry, i):
-        kept, count = carry
-        p = pts_sorted[i]
-        d2 = jnp.sum((pts_sorted - p) ** 2, axis=-1)
-        # suppressed if any already-kept point is closer than min_dist
-        clash = jnp.any(kept & (d2 < min_d2))
-        take = mask_sorted[i] & jnp.logical_not(clash) & (count < top_n)
-        kept = kept.at[i].set(take)
-        return (kept, count + take.astype(jnp.int32)), take
+    n_pad = -(-n // block) * block
+    pad = n_pad - n
+    if pad:
+        pts_sorted = jnp.concatenate(
+            [pts_sorted, jnp.full((pad, 2), 1e9, pts_sorted.dtype)])
+        mask_sorted = jnp.concatenate([mask_sorted, jnp.zeros(pad, bool)])
+
+    def step(carry, b):
+        kept, count = carry                        # kept: (n_pad,) sorted slots
+        pb = lax.dynamic_slice(pts_sorted, (b * block, 0), (block, 2))
+        mb = lax.dynamic_slice_in_dim(mask_sorted, b * block, block)
+        # clash vs already-kept earlier blocks: one (B, N) pass
+        d2_all = jnp.sum(
+            (pb[:, None, :] - pts_sorted[None, :, :]) ** 2, axis=-1)
+        clash_prev = jnp.any(kept[None, :] & (d2_all < min_d2), axis=1)
+        # in-block greedy recurrence, unrolled (B small, static)
+        d2_in = jnp.sum((pb[:, None, :] - pb[None, :, :]) ** 2, axis=-1)
+        taken = jnp.zeros(block, bool)
+        cnt = count
+        for j in range(block):
+            clash_in = jnp.any(taken & (d2_in[j] < min_d2))
+            take = mb[j] & ~clash_prev[j] & ~clash_in & (cnt < top_n)
+            taken = taken.at[j].set(take)
+            cnt = cnt + take.astype(jnp.int32)
+        kept = lax.dynamic_update_slice(kept, taken, (b * block,))
+        return (kept, cnt), taken
 
     (kept, _), takes = lax.scan(
-        step, (jnp.zeros(n, bool), jnp.int32(0)), jnp.arange(n)
+        step, (jnp.zeros(n_pad, bool), jnp.int32(0)),
+        jnp.arange(n_pad // block)
     )
+    takes = takes.reshape(n_pad)[:n]
     # compact the kept sorted-slots to the front, preserving order
     slot = jnp.cumsum(takes.astype(jnp.int32)) - 1
     slot = jnp.where(takes, slot, top_n)

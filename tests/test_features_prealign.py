@@ -174,3 +174,21 @@ def test_submap_rotation_search_corrects_yaw():
     got = np.arctan2(np.asarray(Rg)[1, 0], np.asarray(Rg)[0, 0])
     assert abs(got - true_yaw) < np.deg2rad(0.7)
     np.testing.assert_allclose(np.asarray(tg), t_true, atol=0.1)
+
+
+def test_blocked_nms_equals_sequential():
+    """The block-unrolled greedy NMS (extract_keypoints block=B) must equal
+    the per-point recurrence (block=1) exactly — order, indices, mask —
+    including non-multiple-of-block sizes (padding path)."""
+    from icp_tpu.models.features import extract_keypoints
+    rng = np.random.default_rng(1)
+    for n, block in [(100, 32), (768, 32), (130, 7), (33, 32)]:
+        pts = jnp.asarray(rng.normal(0, 2, (n, 2)).astype(np.float32))
+        mask = jnp.asarray(rng.random(n) > 0.2)
+        curv = jnp.asarray(rng.random(n).astype(np.float32))
+        k1, m1 = extract_keypoints(pts, mask, curv, top_n=20,
+                                   min_dist=0.4, block=1)
+        kb, mb = extract_keypoints(pts, mask, curv, top_n=20,
+                                   min_dist=0.4, block=block)
+        np.testing.assert_array_equal(np.asarray(k1), np.asarray(kb))
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(mb))
