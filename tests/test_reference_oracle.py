@@ -355,3 +355,66 @@ def test_occupancy_update_matches_reference(ref):
     np.testing.assert_allclose(
         np.asarray(og.log_odds), rg.log_odds, atol=1e-3,
     )
+
+
+# ── feature pipeline stages (utilities/features.py:35-106) ──────────────
+
+
+def test_curvature_matches_reference(ref):
+    rng = np.random.default_rng(3)
+    pts = _room_scan(rng, n=200, noise=0.01)
+    want = ref.features.compute_curvature(pts, k=10)
+    from icp_tpu.ops.eig2 import compute_curvature
+    got = np.asarray(compute_curvature(
+        jnp.asarray(pts, jnp.float32), jnp.ones(len(pts), bool), k=10))
+    np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_keypoint_nms_matches_reference(ref):
+    """Same curvature values into both NMS implementations -> identical
+    keypoint index sequences (greedy order preserved)."""
+    rng = np.random.default_rng(4)
+    pts = _room_scan(rng, n=220, noise=0.01)
+    curv = ref.features.compute_curvature(pts, k=10)
+    # noise-symmetric points tie in curvature at f32 precision and the two
+    # sorts order ties differently; break ties identically for both so the
+    # test pins the NMS semantics, not argsort tie order
+    curv = curv + np.arange(len(curv)) * 1e-6
+    want = ref.features.extract_keypoints(pts, curv, top_n=40, min_dist=0.3)
+    from icp_tpu.models.features import extract_keypoints
+    ki, km = extract_keypoints(
+        jnp.asarray(pts, jnp.float32), jnp.ones(len(pts), bool),
+        jnp.asarray(curv, jnp.float32), top_n=40, min_dist=0.3)
+    got = np.asarray(ki)[np.asarray(km)]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_descriptors_match_reference(ref):
+    rng = np.random.default_rng(5)
+    pts = _room_scan(rng, n=200, noise=0.01)
+    kp = np.arange(0, 200, 10)
+    want = ref.features.compute_descriptors(pts, kp, k=16)
+    from icp_tpu.models.features import compute_descriptors
+    n = len(pts)
+    kp_idx = np.zeros(len(kp), np.int32)
+    kp_idx[:] = kp
+    got = np.asarray(compute_descriptors(
+        jnp.asarray(pts, jnp.float32), jnp.ones(n, bool),
+        jnp.asarray(kp_idx), jnp.ones(len(kp), bool), k=16))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_descriptor_matching_matches_reference(ref):
+    """Same descriptors into both ratio-test matchers -> same pairs."""
+    rng = np.random.default_rng(6)
+    da = rng.normal(size=(30, 16))
+    db = np.concatenate([da[:20] + rng.normal(scale=0.01, size=(20, 16)),
+                         rng.normal(size=(25, 16)) * 3])
+    want = set(ref.features.match_descriptors(da, db, ratio=0.8))
+    from icp_tpu.models.features import match_descriptors
+    mj, mm = match_descriptors(
+        jnp.asarray(da, jnp.float32), jnp.ones(30, bool),
+        jnp.asarray(db, jnp.float32), jnp.ones(45, bool), 0.8)
+    got = {(i, int(j)) for i, (j, ok) in
+           enumerate(zip(np.asarray(mj), np.asarray(mm))) if ok}
+    assert got == want
