@@ -79,6 +79,8 @@ class ScaledPipeline:
                  lc_distance: float = 5.0,
                  lc_min_travel: float = 30.0,
                  lc_error_threshold: float = 0.05,
+                 lc_max_corr: float = 6.0,
+                 lc_iterations: int = 40,
                  lc_info_scale: float = 10.0,
                  dist_node_threshold: int = 2):
         self.mesh = mesh
@@ -98,6 +100,42 @@ class ScaledPipeline:
         self.lc_min_travel = float(lc_min_travel)
         self.lc_error_threshold = float(lc_error_threshold)
         self.lc_info_scale = float(lc_info_scale)
+
+        # LC verification: keyframes are voxelized (<= kf_capacity pts), so
+        # brute-force masked ICP is affordable and — unlike the cell-grid
+        # registration ICP whose gate is sized for per-step motion — must
+        # swallow ACCUMULATED loop drift. Coarse gated pull (lc_max_corr)
+        # from the estimated relative pose, then a fine pass at the
+        # registration gate. Compiled once (fixed kf_capacity shapes).
+        from icp_tpu.models.icp import icp_core
+        from icp_tpu.ops.nn import nn_query
+        _coarse = float(lc_max_corr)
+        _fine = float(icp_max_corr)
+        _iters = int(lc_iterations)
+
+        @jax.jit
+        def _lc_verify(ap, am, bp, bm, R0, t0):
+            r1 = icp_core(ap, am, bp, bm, R0, t0,
+                          method="point_to_point", max_iterations=_iters,
+                          max_corr_dist=_coarse, use_gate=True)
+            r2 = icp_core(ap, am, bp, bm, r1.R, r1.t,
+                          method="point_to_point", max_iterations=_iters,
+                          max_corr_dist=_fine, use_gate=True)
+            # acceptance metrics: keyframes ~metres apart only PARTIALLY
+            # overlap, so the reference-style all-points mean error can't
+            # distinguish a good closure (the non-overlap region dominates
+            # it even at perfect alignment). Score the gated inliers and
+            # their fraction instead.
+            tr = ap @ r2.R.T + r2.t
+            nn_d, _ = nn_query(tr, bp, bm, am)
+            sq = nn_d * nn_d
+            inl = ((sq < _fine * _fine) & am).astype(jnp.float32)
+            n_in = jnp.sum(inl)
+            ierr = jnp.sum(sq * inl) / jnp.maximum(n_in, 1.0)
+            frac = n_in / jnp.maximum(jnp.sum(am.astype(jnp.float32)), 1.0)
+            return r2, ierr, frac
+
+        self._lc_verify = _lc_verify
         self._icp_kw = dict(
             max_corr_dist=float(icp_max_corr),
             max_iterations=int(icp_max_iterations),
@@ -273,13 +311,18 @@ class ScaledPipeline:
 
         ap, am = pad_points(self.kf_points[cur_idx], self.kf_cap)
         bp, bm = pad_points(self.kf_points[cand], self.kf_cap)
-        res = icp_large(jnp.asarray(ap), jnp.asarray(am),
-                        jnp.asarray(bp), jnp.asarray(bm),
-                        jnp.eye(2, dtype=jnp.float32),
-                        jnp.zeros(2, jnp.float32), **self._icp_kw)
-        err = float(res.error)
+        # init from the estimated relative pose: its residual is exactly
+        # the accumulated loop drift, which the coarse gate must cover
+        T_init = np.linalg.inv(self.trajectory[cand]) @ \
+            self.trajectory[cur_idx]
+        res, ierr, frac = self._lc_verify(
+            jnp.asarray(ap), jnp.asarray(am),
+            jnp.asarray(bp), jnp.asarray(bm),
+            jnp.asarray(T_init[:2, :2], jnp.float32),
+            jnp.asarray(T_init[:2, 2], jnp.float32))
+        err, frac = float(ierr), float(frac)
         self.stats.icp_iters += int(res.iters)
-        if err >= self.lc_error_threshold:
+        if err >= self.lc_error_threshold or frac < 0.5:
             return
         r_lc, t_lc = np.asarray(res.R), np.asarray(res.t)
         # edge z = vec(T_lc^-1) (reference slam.py:583-593)
