@@ -164,6 +164,7 @@ class SlamEngine:
         self._lc_verify_fn = None         # batched LC verification program
         self._last_lc_accept = None       # node idx of last accepted closure
         self._ray_bound: int | None = None  # resolved max_ray_cells
+        self._sweep_caps: tuple[int, int] | None = None  # (src, tgt)
         self._warned_truncate = False
         self._live_view = None            # interactive window (if display)
         self._live_view_failed = False
@@ -212,6 +213,58 @@ class SlamEngine:
         else:
             cap = int(fcc)
         return None if cap >= full else cap
+
+    def _resolve_sweep_caps(self, first_points: np.ndarray):
+        """Static capacities for the submap-sweep scoring clouds.
+
+        "auto" sizes them from the first scan's occupied coarse-voxel
+        count n0 (at sub_rot_voxel): the source sweep cloud is one scan
+        (2x n0 headroom covers view-dependent variation over the run);
+        the target is the merged rolling submap, whose UNION of coarse
+        cells grows with motion — measured on the bench world it peaks at
+        ~3x a single scan's count, so 4x n0 gives real headroom. Both are
+        rounded to a multiple of 64 (TPU lane-friendly) and clamped by
+        the exact upper bounds (a coarse cell needs at least one source
+        point / one submap voxel). Ints pass through; None keeps the
+        legacy capacity-derived defaults. Sized once, at the first scan
+        — overflow later still falls back to counted, warned drops."""
+        cfg = self.cfg
+        n0 = None
+        if isinstance(cfg.sweep_src_capacity, str) or \
+                isinstance(cfg.sweep_tgt_capacity, str):
+            v = float(cfg.sub_rot_voxel)
+            k = np.floor(first_points[:, :2] / v).astype(np.int64)
+            n0 = len(np.unique(k[:, 0] * 1000003 + k[:, 1]))
+
+        def one(setting, default, factor, hard_cap):
+            if setting in (None, 0):
+                return int(default)
+            if isinstance(setting, str):
+                if setting != "auto":
+                    raise ValueError(f"sweep capacity must be int, 'auto' "
+                                     f"or None, got {setting!r}")
+                cap = max(256, int(np.ceil(n0 * factor / 64.0)) * 64)
+                return min(cap, int(hard_cap))
+            return int(setting)
+
+        self._sweep_caps = (
+            one(cfg.sweep_src_capacity, max(256, cfg.scan_capacity // 2),
+                2.0, cfg.scan_capacity),
+            one(cfg.sweep_tgt_capacity, max(512, cfg.submap_capacity // 4),
+                4.0, cfg.submap_capacity),
+        )
+
+    @property
+    def _sweep_src_cap(self) -> int:
+        if self._sweep_caps is None:
+            return self.cfg.sweep_src_cap
+        return self._sweep_caps[0]
+
+    @property
+    def _sweep_tgt_cap(self) -> int:
+        if self._sweep_caps is None:
+            return self.cfg.sweep_tgt_cap
+        return self._sweep_caps[1]
 
     def _check_ray_bound(self, points_2d: np.ndarray):
         """Host-side per-scan guard: count scans whose longest ray exceeds
@@ -314,7 +367,7 @@ class SlamEngine:
             angle_step=float(angle_step),
             fine_step=float(cfg.sub_rot_fine),
             voxel_size=cfg.sub_rot_voxel,
-            src_cap=cfg.sweep_src_cap, tgt_cap=cfg.sweep_tgt_cap,
+            src_cap=self._sweep_src_cap, tgt_cap=self._sweep_tgt_cap,
             with_overflow=True,
         )
         self._check_sweep_drop(int(s_drop) + int(t_drop))
@@ -597,8 +650,8 @@ class SlamEngine:
             sub_rot_voxel=float(cfg.sub_rot_voxel),
             sub_corr_dist=float(cfg.sub_corr_dist),
             imu_narrow=float(cfg.imu_narrow),
-            sweep_src_cap=int(cfg.sweep_src_cap),
-            sweep_tgt_cap=int(cfg.sweep_tgt_cap),
+            sweep_src_cap=int(self._sweep_src_cap),
+            sweep_tgt_cap=int(self._sweep_tgt_cap),
             grid_min_x=m.min_x, grid_min_y=m.min_y,
             grid_resolution=m.resolution,
             l_hit=m.l_hit, l_miss=m.l_miss,
@@ -1044,6 +1097,16 @@ class SlamEngine:
             prev_rel_time=np.array(
                 [self.prev_rel_time if self.prev_rel_time is not None else -1]),
             imu_yaw_offset=np.array([self.imu_yaw_offset]),
+            # explicit counters: scans/rejected can't be inferred from
+            # scan_indices when the run ends on trailing rejections, and
+            # the LC cooldown state must survive resume or a just-closed
+            # loop re-closes immediately (ADVICE r2; BENCHMARKS.md
+            # "Loop-closure accuracy")
+            stats_scans=np.array([self.stats.scans], np.int64),
+            stats_rejected=np.array([self.stats.rejected], np.int64),
+            last_lc_accept=np.array(
+                [self._last_lc_accept if self._last_lc_accept is not None
+                 else -1], np.int64),
         )
 
     def load_checkpoint(self, path: str):
@@ -1065,7 +1128,16 @@ class SlamEngine:
                            scan_idx=int(idxs[i])))
             off += ln
         self.pose_trajectory = [r.pose for r in self.scan_history[1:]]
-        self.stats.scans = int(idxs[-1]) if len(idxs) else 0
+        if "stats_scans" in d:
+            self.stats.scans = int(d["stats_scans"][0])
+            self.stats.rejected = int(d["stats_rejected"][0])
+        else:
+            # legacy checkpoints: infer from the last accepted scan's index
+            # (wrong if the save happened after trailing rejections)
+            self.stats.scans = int(idxs[-1]) if len(idxs) else 0
+        if "last_lc_accept" in d:
+            lla = int(d["last_lc_accept"][0])
+            self._last_lc_accept = None if lla < 0 else lla
         gm = d["grid_meta"]
         if d["log_odds"].size:
             if self._ray_bound is None:
@@ -1095,6 +1167,8 @@ class SlamEngine:
         self.imu_yaw_offset = float(d["imu_yaw_offset"][0])
         if self.scan_history:
             self.prev_points = self.scan_history[-1].points
+            if self._sweep_caps is None:
+                self._resolve_sweep_caps(self.scan_history[0].points)
             if self._fused_eligible and self.mapper is not None:
                 self._build_fused(self.scan_history[0].points)
                 self._resync_state_after_lc(self.prev_points)
@@ -1105,6 +1179,12 @@ class SlamEngine:
         trajectory (False for init/skip/reject)."""
         cfg = self.cfg
         if points_2d.shape[0] < 10:        # degenerate (slam.py:384-385)
+            if self.prev_points is not None:
+                # consume the stream slot like the fused degenerate gate
+                # does (accepted=False -> rejected), else every later
+                # scan_idx is one ground-truth row early
+                self.stats.scans += 1
+                self.stats.rejected += 1
             return False
 
         # first scan initialization (slam.py:388-453)
@@ -1118,6 +1198,7 @@ class SlamEngine:
                           f"{np.degrees(self.imu_yaw_offset):.1f} deg")
             bounds = compute_bounds_from_scan(points_2d, cfg.map_margin)
             self._ray_bound = self._resolve_ray_bound(points_2d)
+            self._resolve_sweep_caps(points_2d)
             self.mapper = OccupancyGrid2D(
                 *bounds,
                 resolution=cfg.map_resolution,

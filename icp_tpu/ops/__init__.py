@@ -9,7 +9,6 @@ from icp_tpu.ops.rigid import (               # noqa: F401
 from icp_tpu.ops.sweep import sweep_scores    # noqa: F401
 from icp_tpu.ops.ransac import ransac_align   # noqa: F401
 from icp_tpu.ops.raytrace import bresenham_cells, raytrace_update  # noqa: F401
-from icp_tpu.ops.hashgrid import build_hash_grid, hash_nn_query  # noqa: F401
 from icp_tpu.ops.densegrid import (           # noqa: F401
     build_dense_grid, dense_nn_query, grid_origin,
 )

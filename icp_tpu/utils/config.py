@@ -149,9 +149,12 @@ class SlamConfig:
     batched_map: bool = True
     # static capacities for the submap rotation-sweep scoring clouds
     # (coarse-voxelized, so far fewer valid slots than the raw capacities;
-    # see prealign.submap_rotation_search). None -> derived defaults.
-    sweep_src_capacity: int | None = None
-    sweep_tgt_capacity: int | None = None
+    # see prealign.submap_rotation_search). "auto" (default) sizes both
+    # from the first scan's coarse-voxel count (SlamEngine._resolve_sweep_
+    # caps) so headline runs are drop-free; int = use as-is; None ->
+    # legacy capacity-derived defaults.
+    sweep_src_capacity: int | str | None = "auto"
+    sweep_tgt_capacity: int | str | None = "auto"
     # distributed execution: "auto" = build a device mesh when more than
     # one JAX device is visible and shard loop-closure verification + the
     # pose-graph GN step over it; True forces it (errors if single-device),
@@ -172,13 +175,19 @@ class SlamConfig:
 
     @property
     def sweep_src_cap(self) -> int:
-        return (self.sweep_src_capacity if self.sweep_src_capacity
-                else max(256, self.scan_capacity // 2))
+        """Legacy capacity-derived default (engine resolves "auto" from the
+        first scan via _resolve_sweep_caps; this is the fallback)."""
+        v = self.sweep_src_capacity
+        if isinstance(v, int) and v > 0:
+            return v
+        return max(256, self.scan_capacity // 2)
 
     @property
     def sweep_tgt_cap(self) -> int:
-        return (self.sweep_tgt_capacity if self.sweep_tgt_capacity
-                else max(512, self.submap_capacity // 4))
+        v = self.sweep_tgt_capacity
+        if isinstance(v, int) and v > 0:
+            return v
+        return max(512, self.submap_capacity // 4)
 
     @classmethod
     def from_dict(cls, cfg: dict) -> "SlamConfig":
@@ -272,8 +281,8 @@ class SlamConfig:
         c.fused = t.get("fused", True)
         c.batch_scans = t.get("batch_scans", 8)
         c.batched_map = t.get("batched_map", True)
-        c.sweep_src_capacity = t.get("sweep_src_capacity", None)
-        c.sweep_tgt_capacity = t.get("sweep_tgt_capacity", None)
+        c.sweep_src_capacity = t.get("sweep_src_capacity", "auto")
+        c.sweep_tgt_capacity = t.get("sweep_tgt_capacity", "auto")
         c.distributed = t.get("distributed", "auto")
         c.dist_node_threshold = t.get("dist_node_threshold", 1024)
         c.nn_impl = t.get("nn_impl", "xla")

@@ -19,7 +19,28 @@ Conventions (shared by every caller):
 """
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
+
+
+def _check_coverage(keep: np.ndarray, what: str) -> None:
+    """Guard the ``indices=`` filtering: silently averaging over a heavily
+    filtered set (out-of-range ground-truth rows) would report an ATE/RPE
+    that covers a fraction of the trajectory while looking authoritative —
+    and an EMPTY set would return NaN with only a NumPy RuntimeWarning.
+    Raise when nothing survives; warn when more than half is dropped."""
+    n = keep.size
+    kept = int(np.count_nonzero(keep))
+    if kept == 0:
+        raise ValueError(
+            f"{what}: all {n} estimate poses map outside the ground truth "
+            f"(indices out of range) — nothing to score")
+    if kept < n / 2:
+        warnings.warn(
+            f"{what}: {n - kept}/{n} estimate poses dropped (ground-truth "
+            f"indices out of range); the score covers only {kept} poses",
+            RuntimeWarning, stacklevel=3)
 
 
 def poses_to_xyt(poses) -> np.ndarray:
@@ -66,6 +87,7 @@ def ate(est_xy, gt_xyt, gt_offset: int = 1, indices=None) -> float:
         indices = np.asarray(indices)
         n = min(len(est_xy), len(indices))
         keep = indices[:n] < len(gt_rel)
+        _check_coverage(keep, "ate")
         d = est_xy[:n][keep] - gt_rel[indices[:n][keep]]
     else:
         n = min(len(est_xy), len(gt_rel) - gt_offset)
@@ -95,6 +117,7 @@ def rpe(est_xyt, gt_xyt, delta: int = 1, gt_offset: int = 1, indices=None):
         indices = np.asarray(indices)
         n = min(len(est_xyt), len(indices))
         keep = indices[:n] < len(gt_rel)
+        _check_coverage(keep, "rpe")
         est = est_xyt[:n][keep]
         gt = gt_rel[indices[:n][keep]]
         n = len(est)

@@ -18,6 +18,8 @@ from icp_tpu.services.imu import IMUService
 from icp_tpu.utils.config import SlamConfig
 from icp_tpu.utils.synth import generate_sequence
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def seq(tmp_path_factory):

@@ -9,6 +9,8 @@ from icp_tpu.utils.synth import generate_sequence
 from icp_tpu.utils.config import SlamConfig
 from icp_tpu.engine import run_slam
 
+pytestmark = pytest.mark.slow
+
 
 def ate_rmse(gt_xy, est_xy):
     """Absolute trajectory error after the trajectories are expressed

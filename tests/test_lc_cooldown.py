@@ -49,6 +49,32 @@ def test_cooldown_zero_is_reference_behavior():
     assert calls == [101]
 
 
+def test_cooldown_survives_checkpoint(tmp_path):
+    """_last_lc_accept (and the explicit scan counters) round-trip through
+    save/load_checkpoint, so a resume inside the cooldown window stays
+    suppressed (ADVICE r2)."""
+    eng = _engine(cooldown=10)
+    eng.pose_graph.add_node(np.zeros(3, np.float32))
+    eng._last_lc_accept = 7
+    eng.stats.scans = 9
+    eng.stats.rejected = 2
+    ck = str(tmp_path / "ck.npz")
+    eng.save_checkpoint(ck)
+
+    eng2 = _engine(cooldown=10)
+    eng2.load_checkpoint(ck)
+    assert eng2._last_lc_accept == 7
+    assert eng2.stats.scans == 9 and eng2.stats.rejected == 2
+    calls = []
+    eng2._find_loop_candidates = lambda cur_idx, cur_xy=None: (
+        calls.append(cur_idx), [])[1]
+    pts = np.zeros((32, 2), np.float32)
+    assert eng2._lc_find(pts, 12) is None      # still inside the window
+    assert calls == []
+    assert eng2._lc_find(pts, 17) is None      # window expired
+    assert calls == [17]
+
+
 def test_accept_arms_the_cooldown():
     eng = _engine(cooldown=10)
     assert eng._last_lc_accept is None

@@ -127,17 +127,24 @@ def test_engine_pose_scan_indices_contract(tmp_path):
     scans = [filter_and_flatten(pts, 0.0, 3.0)
              for _, _, pts in LidarService(lidar_f).scans()]
     # a 10 cm blob can't register against a room-sized scan: forces a
-    # rejection (and so a gap in the index stream) at position 5
+    # rejection (and so a gap in the index stream) at position 5; a
+    # <10-point scan at position 8 must consume a stream slot the same
+    # way (degenerate gate, reference slam.py:384-385)
     rng = np.random.default_rng(0)
     scans[5] = rng.uniform(-0.05, 0.05, (64, 2)).astype(np.float32)
+    scans[8] = scans[8][:6]
+    scans[13] = rng.uniform(-0.05, 0.05, (64, 2)).astype(np.float32)
     for k, pts in enumerate(scans):
         eng.process_scan(pts, float(k * 1e5))
     eng.finish()
-    assert eng.stats.rejected > 0
+    assert eng.stats.rejected >= 3
     idx = eng.pose_scan_indices
     assert len(idx) == len(eng.pose_trajectory)
     assert len(idx) > 0 and np.all(np.diff(idx) >= 1)
     assert 5 not in idx
+    assert 8 not in idx
+    assert 13 not in idx
+    assert idx[-1] == len(scans) - 2       # no cumulative index shift
     assert eng.scan_history[0].scan_idx == 0
     # accepted+rejected covers every non-first scan exactly once
     assert eng.stats.rejected + len(idx) == eng.stats.scans
@@ -147,7 +154,11 @@ def test_engine_pose_scan_indices_contract(tmp_path):
     eng2 = SlamEngine(cfg, verbose=False)
     eng2.load_checkpoint(ck)
     np.testing.assert_array_equal(eng2.pose_scan_indices, idx)
-    assert eng2.stats.scans == int(idx[-1])
+    # counters persist EXPLICITLY: the run ended on a rejection, so the
+    # legacy last-accepted-index inference (idx[-1]) would under-count and
+    # a resumed run would re-issue already-consumed scan_idx values
+    assert eng2.stats.scans == eng.stats.scans == len(scans) - 1
+    assert eng2.stats.rejected == eng.stats.rejected
 
     # the modular path (tpu.fused: false) must assign identical indices
     cfg_mod = SlamConfig.from_dict({
@@ -166,6 +177,28 @@ def test_engine_pose_scan_indices_contract(tmp_path):
         eng3.process_scan(pts, float(k * 1e5))
     eng3.finish()
     np.testing.assert_array_equal(eng3.pose_scan_indices, idx)
+
+
+def test_indexed_coverage_guard():
+    """indices= filtering must not silently score a fraction of the
+    trajectory: all-out-of-range raises (was: NaN), majority-dropped
+    warns with the dropped count."""
+    import warnings
+
+    gt = _random_traj(60, seed=9)
+    rel = gt_relative(gt)
+    kept = np.arange(1, 60)
+    est = rel[kept]
+    with pytest.raises(ValueError, match="all .* map outside"):
+        ate(est[:, :2], gt[:1], indices=kept)
+    with pytest.raises(ValueError, match="all .* map outside"):
+        rpe(est, gt[:1], indices=kept)
+    with pytest.warns(RuntimeWarning, match="dropped"):
+        ate(est[:, :2], gt[:20], indices=kept)
+    # full coverage stays silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert ate(est[:, :2], gt, indices=kept) < 1e-12
 
 
 def test_rpe_zero_for_exact_estimate_and_accepts_matrices():

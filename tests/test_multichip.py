@@ -13,6 +13,9 @@ from icp_tpu.parallel.sharded_grid import raytrace_update_sharded
 from icp_tpu.ops.sweep import sweep_scores
 from icp_tpu.ops.raytrace import raytrace_update
 from icp_tpu.models.pose_graph import optimize_dense
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _graft():

@@ -16,6 +16,8 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+pytestmark = pytest.mark.slow
+
 WORKER = r"""
 import os, sys
 sys.path.insert(0, os.environ["REPO"])

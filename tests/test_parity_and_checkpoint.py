@@ -11,6 +11,8 @@ from icp_tpu.services.imu import IMUService
 from icp_tpu.utils.config import SlamConfig
 from icp_tpu.utils.synth import generate_sequence
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def seq(tmp_path_factory):
@@ -91,6 +93,59 @@ def test_trajectory_parity_vs_numpy_baseline(seq):
     # ours must be at least as accurate as the NumPy reference (+ margin)
     assert ate_ours < max(2 * ate_base, 0.35), (
         f"ours ATE {ate_ours:.3f} vs baseline ATE {ate_base:.3f}")
+
+
+def test_checkpoint_resume_across_closure(seq, tmp_path):
+    """Checkpoint taken right AFTER an accepted loop closure must resume
+    into the same downstream trajectory as the uninterrupted run — in
+    particular the LC cooldown state must survive, or the resumed engine
+    immediately re-closes the just-closed loop (the correlated-edge
+    stacking loop_closure.cooldown exists to prevent, BENCHMARKS.md
+    "Loop-closure accuracy")."""
+    scans, rels, imu_file, gt = seq
+    lc_cfg = dict(CFG)
+    lc_cfg["loop_closure"] = {
+        "enabled": True, "min_interval": 35, "distance_threshold": 3.0,
+        "min_cumulative_travel": 4.0, "max_candidates": 3,
+        "error_threshold": 0.1, "optimization_iterations": 20,
+        "information_scale": 5.0, "cooldown": 8,
+    }
+    cfg = SlamConfig.from_dict(lc_cfg)
+    imu = IMUService(imu_file)
+
+    full = SlamEngine(cfg, imu=imu, verbose=False)
+    for p, r in zip(scans, rels):
+        full.process_scan(p, r)
+    assert full.stats.loop_closures >= 1, "fixture never closed a loop"
+
+    # run again, checkpoint immediately after the FIRST accepted closure
+    eng1 = SlamEngine(cfg, imu=imu, verbose=False)
+    cut = None
+    for k, (p, r) in enumerate(zip(scans, rels)):
+        eng1.process_scan(p, r)
+        if eng1.stats.loop_closures >= 1:
+            cut = k
+            break
+    assert cut is not None and cut < len(scans) - 1
+    assert eng1._last_lc_accept is not None
+    ck = str(tmp_path / "lc.npz")
+    eng1.save_checkpoint(ck)
+
+    eng2 = SlamEngine(cfg, imu=imu, verbose=False)
+    eng2.load_checkpoint(ck)
+    assert eng2._last_lc_accept == eng1._last_lc_accept
+    for p, r in zip(scans[cut + 1:], rels[cut + 1:]):
+        eng2.process_scan(p, r)
+
+    # same TOTAL closure count (a cooldown-window re-close after resume
+    # would add an extra one in eng2) and same trajectory
+    assert (eng1.stats.loop_closures + eng2.stats.loop_closures
+            == full.stats.loop_closures)
+    a = np.stack([p[:2, 2] for p in full.pose_trajectory])
+    b = np.stack([p[:2, 2] for p in eng2.pose_trajectory])
+    assert len(a) == len(b)
+    ate = np.sqrt(np.mean(np.sum((a - b) ** 2, axis=1)))
+    assert ate < 5e-3, f"resume-across-closure divergence ATE {ate:.4f} m"
 
 
 def test_checkpoint_roundtrip(seq, tmp_path):
