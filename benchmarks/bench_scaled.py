@@ -1,18 +1,23 @@
 """BASELINE config #5 — ONE end-to-end scaled pipeline run.
 
-100k-point scans registered with the dense-grid ICP (models.icp.icp_large),
-occupancy map painted block-sharded across the device mesh
-(parallel.sharded_grid), thousands of keyframes optimized with the
-distributed exact Schur GN (parallel.dist_pose_graph) — the three scale
-axes that bench_suite measures separately, combined in one pipeline
-(icp_tpu/parallel/scaled.py). Reference anchors this scales past:
+100k-point scans registered scan-to-SUBMAP with the dense-grid ICP
+(models.icp.icp_large, point-to-line on binned-cell normals), occupancy
+map painted block-sharded across the device mesh (parallel.sharded_grid),
+loop closures verified multi-candidate and bundle-adjusted ONLINE through
+the distributed exact Schur GN (parallel.dist_pose_graph), and the sharded
+map replayed from corrected poses — the full SLAM system of
+icp_tpu/parallel/scaled.py. Reference anchors this scales past:
 /root/reference/utilities/icp.py:173 (per-iteration KDTree query) and
 /root/reference/utilities/pose_graph.py:92-127 (dense 3n x 3n solve).
 
-Emits one JSON line: scans/s, Schur GN-step ms, ATE (m).
+Emits one JSON line: scans/s, Schur GN-step ms, ATE (m) before/after BA.
 
 Env knobs: BENCH_SCALED_SCANS (default 1200), BENCH_SCALED_POINTS
-(default 100000), BENCH_SCALED_DEVICES (default all).
+(default 100000), BENCH_SCALED_DEVICES (default all),
+BENCH_SCALED_METHOD (point_to_line | point_to_point),
+BENCH_SCALED_SUBMAP (rolling submap keyframes; 0 = legacy scan-to-scan),
+BENCH_SCALED_BA_EVERY (online BA cadence in accepted closures; 0 = only
+terminal BA).
 """
 from __future__ import annotations
 
@@ -45,23 +50,30 @@ def main():
     n_points = int(os.environ.get("BENCH_SCALED_POINTS", 100_000))
     n_dev = int(os.environ.get("BENCH_SCALED_DEVICES",
                                len(jax.devices())))
+    method = os.environ.get("BENCH_SCALED_METHOD", "point_to_line")
+    submap_kf = int(os.environ.get("BENCH_SCALED_SUBMAP", 8))
+    ba_every = int(os.environ.get("BENCH_SCALED_BA_EVERY", 1))
     log(f"devices: {n_dev} x {jax.devices()[0].platform}, "
-        f"{n_scans} scans x {n_points} pts")
+        f"{n_scans} scans x {n_points} pts, {method}, submap={submap_kf}, "
+        f"ba_every={ba_every}")
 
     cap = 1 << int(np.ceil(np.log2(n_points)))
     pipe = ScaledPipeline(
         make_mesh(n_dev),
         scan_capacity=cap, extent=100.0, map_resolution=0.25,
         map_margin=10.0, max_range=35.0,
-        icp_max_corr=1.0, icp_max_iterations=30,
+        icp_max_corr=1.0, icp_max_iterations=30, icp_method=method,
         icp_grid_shape=(160, 160), icp_cell_cap=64, icp_qcells=8192,
         map_ray_stride=int(os.environ.get("BENCH_SCALED_RAY_STRIDE", 8)),
         kf_capacity=8192, kf_voxel=0.3,
+        submap_keyframes=submap_kf,
         lc_every=8, lc_min_interval=max(50, n_scans // 10),
         # the candidate gate tests ESTIMATED distances, so it must admit
-        # the accumulated drift (~2.6 m RMSE at 400 scans) on top of the
-        # true revisit distance; verification rejects false candidates
+        # the residual drift on top of the true revisit distance;
+        # verification rejects false candidates
         lc_distance=15.0, lc_min_travel=60.0, lc_error_threshold=0.05,
+        lc_max_candidates=4, ba_every=ba_every,
+        replay_chunk=int(os.environ.get("BENCH_SCALED_REPLAY_CHUNK", 8)),
         dist_node_threshold=2,
     )
 
@@ -79,6 +91,7 @@ def main():
         if (k + 1) % 25 == 0:
             np.asarray(pipe.log_odds[:1, :1])      # sync for honest timing
             log(f"  scan {k + 1}/{n_scans}  lc={pipe.stats.loop_closures}  "
+                f"ba={pipe.stats.ba_runs}  fb={pipe.stats.gate_fallbacks}  "
                 f"reg {pipe.stats.wall_registration:.1f}s  "
                 f"map {pipe.stats.wall_mapping:.1f}s")
     np.asarray(pipe.log_odds[:1, :1])              # final sync
@@ -86,21 +99,22 @@ def main():
     sps = (n_scans - WARM) / wall
     gt = np.stack(gt)
 
-    # distributed BA over the full keyframe graph
+    # trajectory accuracy before/after the terminal BA + map replay
     from icp_tpu.utils.metrics import ate as ate_fn
     est0 = np.stack([m[:2, 2] for m in pipe.trajectory])
-    ate_before = ate_fn(est0, gt, gt_offset=0)
+    ate_stream = ate_fn(est0, gt, gt_offset=0)
     gn_ms = pipe.time_gn_step(reps=5) * 1000
     pipe.optimize(n_iterations=15)
 
-    # ATE vs ground truth (both relative to the first pose)
     est = np.stack([m[:2, 2] for m in pipe.trajectory])
     ate = ate_fn(est, gt, gt_offset=0)
 
     st = pipe.stats
     log(f"scans/s {sps:.1f}  reg {st.wall_registration:.1f}s  "
         f"map {st.wall_mapping:.1f}s  lc {st.wall_lc:.1f}s  "
-        f"ATE {ate:.3f} m  GN {gn_ms:.1f} ms")
+        f"ba {st.wall_ba:.1f}s  replay {st.wall_replay:.1f}s  "
+        f"ATE {ate_stream:.3f} -> {ate:.3f} m  GN {gn_ms:.1f} ms  "
+        f"partition {st.partition_wall * 1000:.0f} ms")
     print(json.dumps({
         "metric": "scaled_pipeline_scans_per_sec",
         "value": round(sps, 2),
@@ -109,10 +123,17 @@ def main():
         "points_per_scan": n_points,
         "n_keyframes": len(pipe.kf_points),
         "n_devices": n_dev,
+        "icp_method": method,
+        "submap_keyframes": submap_kf,
         "gn_step_ms": round(gn_ms, 2),
+        "partition_ms": round(st.partition_wall * 1000, 1),
         "ate_m": round(ate, 4),
-        "ate_before_ba_m": round(ate_before, 4),
+        "ate_stream_m": round(ate_stream, 4),
         "loop_closures": st.loop_closures,
+        "lc_checked": st.lc_checked,
+        "ba_runs": st.ba_runs,
+        "gate_fallbacks": st.gate_fallbacks,
+        "wall_replay_s": round(st.wall_replay, 2),
         "map_cells": pipe.ny * pipe.nx,
         "backend": jax.default_backend(),
     }))

@@ -233,7 +233,7 @@ def identity_init(dim: int = 2):
 @partial(
     jax.jit,
     static_argnames=("max_iterations", "grid_shape", "cap", "qcap",
-                     "qcells"),
+                     "qcells", "method"),
 )
 def icp_large(
     source,
@@ -251,8 +251,9 @@ def icp_large(
     qcap: int = 16,
     qcells: int = 4096,
     cell_size=None,
+    method: str = "point_to_point",
 ):
-    """Gated point-to-point ICP for large clouds (10^5+ points).
+    """Gated ICP for large clouds (10^5+ points).
 
     The brute-force (N, M) distance matrix is infeasible at this scale, so
     correspondences come from a dense cell grid (icp_tpu.ops.densegrid)
@@ -270,14 +271,24 @@ def icp_large(
     small steps don't.
 
     ``grid_shape`` (static) must cover the target extent at cell_size;
-    out-of-extent targets are dropped (grid.overflow). Point-to-point
-    only (the scaled regime is submap/keyframe matching, which the
-    reference also runs p2p, config.yaml:52-56).
+    out-of-extent targets are dropped (grid.overflow).
+
+    ``method="point_to_line"`` (the reference's s2s default,
+    /root/reference/utilities/icp.py:192-195) uses per-CELL target
+    normals from the binned grid (ops.densegrid.cell_normals) instead of
+    per-point kNN normals — every match in a cell shares the normal of
+    its 3x3-cell surface patch, gathered once per re-bin. Cells with a
+    degenerate neighborhood fall back to the residual direction (which
+    reduces the p2l residual to the p2p one for that pair). The solve is
+    centered on the weighted source centroid: at 100 m world coordinates
+    the raw [c, nx, ny] normal equations of the reference's formulation
+    would be ~1e4-conditioned in f32.
     """
     from icp_tpu.ops.densegrid import (
-        CompactQueries, bin_queries, build_dense_grid, compact_nn,
-        grid_origin)
+        CompactQueries, bin_queries, build_dense_grid, cell_normals,
+        compact_nn, grid_origin)
 
+    use_p2l = method == "point_to_line"
     max_corr = jnp.asarray(max_corr_dist, jnp.float32)
     cell = (1.5 * max_corr if cell_size is None
             else jnp.asarray(cell_size, jnp.float32))
@@ -285,21 +296,34 @@ def icp_large(
     origin = grid_origin(target, tgt_mask, cell)
     grid = build_dense_grid(target, tgt_mask, cell, origin,
                             grid_shape=grid_shape, cap=cap)
+    if use_p2l:
+        nrm_x, nrm_y, nrm_ok = cell_normals(grid)
     n_valid = jnp.sum(src_mask.astype(jnp.float32))
     min_inliers = jnp.maximum(3.0, jnp.floor(n_valid / 10.0))
     error_threshold = jnp.asarray(error_threshold, jnp.float32)
     max_corr_sq = max_corr * max_corr
+    Cx = grid_shape[1]
+
+    def gather_normals(cq: "CompactQueries"):
+        """Per-query-cell target normal (one row gather per re-bin, not
+        per iteration — staleness while a query drifts inside the margin
+        is the same staleness the NN exactness contract tolerates)."""
+        rows = cq.cell_yx[:, 0] * Cx + cq.cell_yx[:, 1]      # (qcells,)
+        return nrm_x[rows], nrm_y[rows], nrm_ok[rows]
 
     def rebin(r_total, t_total):
         pts = source @ r_total.T + t_total
-        return bin_queries(pts, src_mask, origin, cell,
-                           grid_shape=grid_shape, qcells=qcells, qcap=qcap)
+        cq = bin_queries(pts, src_mask, origin, cell,
+                         grid_shape=grid_shape, qcells=qcells, qcap=qcap)
+        nq = gather_normals(cq) if use_p2l else (
+            jnp.zeros(1), jnp.zeros(1), jnp.zeros(1, bool))
+        return cq, nq
 
     def cond(carry):
         return (carry[0] < max_iterations) & jnp.logical_not(carry[6])
 
     def body(carry):
-        it, cq, r_total, t_total, prev_error, _, _, _, drift = carry
+        it, (cq, nq), r_total, t_total, prev_error, _, _, _, drift = carry
 
         d2, bi, bx, by = compact_nn(cq, grid)
         inlier = (d2 < max_corr_sq) & cq.mask
@@ -309,7 +333,23 @@ def icp_large(
 
         a = jnp.stack([cq.x.ravel(), cq.y.ravel()], axis=1)
         b = jnp.stack([bx.ravel(), by.ravel()], axis=1)
-        r, t = p2p_solve_2d(a, b, w.ravel())
+        wf = w.ravel()
+        if use_p2l:
+            nqx, nqy, nok = nq
+            # residual-direction fallback for degenerate cells (acts as
+            # a p2p pull for those pairs)
+            d_s = jnp.sqrt(jnp.maximum(d2, 1e-12))
+            fbx = (bx - cq.x) / d_s
+            fby = (by - cq.y) / d_s
+            nx_ = jnp.where(nok[:, None], nqx[:, None], fbx).ravel()
+            ny_ = jnp.where(nok[:, None], nqy[:, None], fby).ravel()
+            nrm = jnp.stack([nx_, ny_], axis=1)
+            # center the solve on the weighted source centroid (f32)
+            cw = jnp.sum(a * wf[:, None], 0) / jnp.maximum(n_in, 1.0)
+            r, t1 = p2l_solve_2d(a - cw, b - cw, nrm, wf)
+            t = t1 + cw - r @ cw
+        else:
+            r, t = p2p_solve_2d(a, b, wf)
         new_r_total = r @ r_total
         new_t_total = t_total @ r.T + t
 
@@ -336,7 +376,7 @@ def icp_large(
                                     (nx - cq.x) ** 2 + (ny - cq.y) ** 2,
                                     0.0))
         drift = drift + jnp.sqrt(move_sq)
-        cq_moved = cq._replace(x=nx, y=ny)
+        cq_moved = (cq._replace(x=nx, y=ny), nq)
         cq_next, drift = lax.cond(
             drift > margin,
             lambda: (rebin(r_total, t_total), jnp.float32(0.0)),

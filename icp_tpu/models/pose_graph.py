@@ -191,6 +191,17 @@ class PoseGraph2D:
         self._min_ec = 2
         self._mesh = None            # set_mesh: distributed Schur solve
         self._dist_threshold = 1024
+        # strategy limits (see optimize): above _cg_node_threshold nodes
+        # the dense 3n x 3n solve is replaced by matrix-free PCG even
+        # without a mesh; the distributed path falls back from Schur to
+        # PCG when the per-device dense block (3(i_cap+s))^2 f32 would
+        # exceed _schur_dense_budget bytes or the separator count exceeds
+        # _max_separators (dense closure clusters make every endpoint of
+        # every cross-chunk edge a separator)
+        self._cg_node_threshold = 3072
+        self._schur_dense_budget = 1 << 30
+        self._max_separators = 4096
+        self.last_strategy = None    # "dense" | "cg" | "schur" | "dist_cg"
 
     def set_mesh(self, mesh, node_threshold: int = 1024):
         """Enable the distributed solve: above ``node_threshold`` nodes,
@@ -266,6 +277,14 @@ class PoseGraph2D:
             return self._optimize_distributed(
                 n_iterations, fix_node, convergence_eps
             )
+        if self.n_nodes >= self._cg_node_threshold:
+            # dense 3n x 3n assembly + solve is O(n^2) memory / O(n^3)
+            # flops — at 50k keyframes that is 90 GB of H. Matrix-free
+            # PCG on a 1-device mesh reuses the sharded formulation
+            # without collectives.
+            return self._optimize_cg(n_iterations, fix_node,
+                                     convergence_eps, mesh=None)
+        self.last_strategy = "dense"
         nodes, node_mask, ei, ej, z, om, edge_mask = self._packed()
         out, _ = optimize_dense(
             jnp.asarray(nodes), jnp.asarray(node_mask),
@@ -279,12 +298,41 @@ class PoseGraph2D:
         for k in range(self.n_nodes):
             self._nodes[k] = out[k]
 
+    def _optimize_cg(self, n_iterations, fix_node, convergence_eps,
+                     mesh=None):
+        """Matrix-free block-Jacobi PCG Gauss-Newton (single- or multi-
+        device) — the O(edges)-memory path for graphs past the dense/Schur
+        regimes."""
+        from icp_tpu.parallel.dist_pose_graph import optimize_cg
+        if mesh is None:
+            from icp_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(1)
+        self.last_strategy = "cg" if int(mesh.devices.size) == 1 else \
+            "dist_cg"
+        nodes, node_mask, ei, ej, z, om, edge_mask = self._packed()
+        out, _ = optimize_cg(
+            mesh, jnp.asarray(nodes), jnp.asarray(node_mask),
+            ei, ej, z, om, edge_mask, int(fix_node),
+            n_iterations=int(n_iterations), convergence_eps=convergence_eps,
+        )
+        out = np.asarray(out)
+        for k in range(self.n_nodes):
+            self._nodes[k] = out[k]
+
     def _optimize_distributed(self, n_iterations, fix_node, convergence_eps):
-        """Exact Schur-complement GN sharded over the mesh — the scale path
-        replacing the reference's dense O(n^3) solve
-        (/root/reference/utilities/pose_graph.py:83-134). The graph is
-        partitioned once per optimize call (topology-only) and every GN
-        iteration is one sharded device step + one psum round."""
+        """Distributed GN sharded over the mesh — the scale path replacing
+        the reference's dense O(n^3) solve
+        (/root/reference/utilities/pose_graph.py:83-134).
+
+        Strategy: partition the graph (topology-only, once per optimize
+        call) and run the EXACT Schur-complement step — one local dense
+        factorization + one psum round per iteration — unless the
+        partition says Schur has stopped being cheap: dense closure
+        clusters promote every endpoint of every cross-chunk edge to the
+        separator set, and the per-device dense block is
+        (3 (i_cap + s))^2 f32. Past _schur_dense_budget bytes or
+        _max_separators separators, fall back to the matrix-free PCG
+        step over the same mesh (O(edges) memory, psum per Hx)."""
         # deferred import: parallel.dist_pose_graph imports this module
         from icp_tpu.parallel.dist_pose_graph import (
             optimize_schur, partition_graph,
@@ -293,6 +341,13 @@ class PoseGraph2D:
         n_dev = int(self._mesh.devices.size)
         part = partition_graph(nodes.shape[0], ei, ej, z, om, edge_mask,
                                n_dev, int(fix_node))
+        s = int(len(part.sep_ids))
+        i_cap = int(part.int_ids.shape[1])
+        dense_bytes = (3 * (i_cap + s)) ** 2 * 4
+        if s > self._max_separators or dense_bytes > self._schur_dense_budget:
+            return self._optimize_cg(n_iterations, fix_node,
+                                     convergence_eps, mesh=self._mesh)
+        self.last_strategy = "schur"
         out, _ = optimize_schur(
             self._mesh, jnp.asarray(nodes), jnp.asarray(node_mask), part,
             n_iterations=int(n_iterations), convergence_eps=convergence_eps,

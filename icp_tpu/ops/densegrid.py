@@ -1,10 +1,10 @@
 """Dense cell-grid nearest-neighbor search for the 10^5+-point regime.
 
-Replaces the hash-table query (icp_tpu.ops.hashgrid) on the scaled axis
-(BASELINE.json config #5; reference KDTree use at
-/root/reference/utilities/icp.py:173,179). The hash query costs
-O(N * 9 * bucket_cap) random-access *element* gathers, which TPUs execute
-near-scalar (~40 s per 100k-point alignment measured). This module is
+The NN search for the scaled axis (BASELINE.json config #5; reference
+KDTree use at /root/reference/utilities/icp.py:173,179). An earlier
+hash-table formulation cost O(N * 9 * bucket_cap) random-access *element*
+gathers, which TPUs execute near-scalar (~40 s per 100k-point alignment
+measured) — it was retired in favor of this module. This module is
 built around three TPU facts:
 
 1. element gathers are slow, but gathers of CONTIGUOUS ROWS vector-load;
@@ -175,6 +175,83 @@ def bin_queries(query, query_mask, origin, cell_size, *,
     cell_mask = jnp.zeros((qcells,), bool).at[hrow].set(True, mode="drop")
     overflow = (jnp.sum(query_mask) - jnp.sum(ok)).astype(jnp.int32)
     return CompactQueries(qx, qy, qidx, qm, cell_yx, cell_mask, overflow)
+
+
+@jax.jit
+def cell_normals(grid: DenseGrid):
+    """Per-CELL unit surface normals from 3x3-neighborhood point moments.
+
+    The binned-cloud analog of ``ops.eig2.estimate_normals`` for the
+    10^5+-point regime (reference estimate_normals_2d,
+    /root/reference/utilities/icp.py:51-76): instead of a kNN per point,
+    every grid cell gets ONE normal from the covariance of all points in
+    its 3x3 cell neighborhood (cell_size ~ 1.5x the correspondence gate,
+    so the neighborhood is exactly the local surface patch a match can
+    come from). No gathers: per-cell moments are masked reductions over
+    the cap axis and the neighborhood aggregation is nine static slice
+    adds with closed-form moment translation.
+
+    f32 care: moments are accumulated in per-cell LOCAL coordinates
+    (relative to each cell's corner, |x| <= 3 cells after aggregation) —
+    world-coordinate second moments at 100 m extents would cancel
+    catastrophically.
+
+    Returns (nx, ny, valid) as flat (Cy*Cx,) planes over UNPADDED cells
+    (row-major, matching ``CompactQueries.cell_yx`` flat indexing);
+    valid = neighborhood has >= 3 points.
+    """
+    Cyp, Cxp, cap = grid.x.shape
+    Cy, Cx = Cyp - 2, Cxp - 2
+    cell = grid.cell_size
+    # local coordinates relative to each padded cell's own corner
+    col = lax.broadcasted_iota(jnp.int32, (Cyp, Cxp), 1).astype(jnp.float32)
+    row = lax.broadcasted_iota(jnp.int32, (Cyp, Cxp), 0).astype(jnp.float32)
+    corner_x = grid.origin[0] + (col - 1.0) * cell
+    corner_y = grid.origin[1] + (row - 1.0) * cell
+    m = grid.mask.astype(jnp.float32)
+    xl = (grid.x - corner_x[:, :, None]) * m
+    yl = (grid.y - corner_y[:, :, None]) * m
+    n = jnp.sum(m, -1)                       # (Cyp, Cxp) per-cell moments
+    s1x = jnp.sum(xl, -1)
+    s1y = jnp.sum(yl, -1)
+    sxx = jnp.sum(xl * xl, -1)
+    sxy = jnp.sum(xl * yl, -1)
+    syy = jnp.sum(yl * yl, -1)
+
+    # 3x3 aggregation with moment translation: neighbor (dy, dx) local
+    # coords differ from the center cell's by the static offset
+    # ((dx-1) * cell, (dy-1) * cell)
+    N = jnp.zeros((Cy, Cx), jnp.float32)
+    X = jnp.zeros((Cy, Cx), jnp.float32)
+    Y = jnp.zeros((Cy, Cx), jnp.float32)
+    XX = jnp.zeros((Cy, Cx), jnp.float32)
+    XY = jnp.zeros((Cy, Cx), jnp.float32)
+    YY = jnp.zeros((Cy, Cx), jnp.float32)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            ox = (dx - 1) * cell
+            oy = (dy - 1) * cell
+            nn = n[dy:dy + Cy, dx:dx + Cx]
+            ax = s1x[dy:dy + Cy, dx:dx + Cx]
+            ay = s1y[dy:dy + Cy, dx:dx + Cx]
+            N = N + nn
+            X = X + ax + nn * ox
+            Y = Y + ay + nn * oy
+            XX = XX + sxx[dy:dy + Cy, dx:dx + Cx] + 2.0 * ox * ax + nn * ox * ox
+            XY = XY + (sxy[dy:dy + Cy, dx:dx + Cx] + ox * ay + oy * ax
+                       + nn * ox * oy)
+            YY = YY + syy[dy:dy + Cy, dx:dx + Cx] + 2.0 * oy * ay + nn * oy * oy
+
+    nc = jnp.maximum(N, 1.0)
+    mx = X / nc
+    my = Y / nc
+    a = XX / nc - mx * mx
+    b = XY / nc - mx * my
+    c = YY / nc - my * my
+    from icp_tpu.ops.eig2 import eigh2x2
+    _, _, v = eigh2x2(a, b, c)
+    valid = (N >= 3.0).reshape(-1)
+    return v[..., 0].reshape(-1), v[..., 1].reshape(-1), valid
 
 
 @jax.jit

@@ -360,6 +360,48 @@ def gn_step_schur_sharded(mesh: Mesh, nodes, node_mask,
                  jnp.asarray(part.edge_mask))
 
 
+def optimize_cg(mesh: Mesh, nodes, node_mask, ei, ej, z, omega, edge_mask,
+                fix_node: int = 0, *, n_iterations: int = 20,
+                convergence_eps=1e-6, cg_iters: int = 100, axis: str = "d"):
+    """Full Gauss-Newton via the matrix-free PCG step — the scale path
+    when the Schur reduction stops being cheap (separator blowup from
+    dense closure clusters, or interiors too large to factor densely:
+    the per-device dense block is (3(i_cap+s))^2 f32, which at 50k nodes
+    on small meshes exceeds HBM). Never materializes H; each GN iteration
+    is cg_iters Hx products, each one edge gather/compute/scatter + one
+    psum. Edge arrays are padded here to a mesh-size multiple.
+
+    Replaces the reference's dense solve
+    (/root/reference/utilities/pose_graph.py:92-127) in the regime its
+    O(n^3)/O(n^2) costs cannot reach. Returns (nodes, iters_run).
+    """
+    n_dev = mesh.shape[axis]
+    e = ei.shape[0]
+    pad = (-e) % n_dev
+    if pad:
+        zp = np.zeros
+        ei = np.concatenate([np.asarray(ei), zp(pad, np.int32)])
+        ej = np.concatenate([np.asarray(ej), zp(pad, np.int32)])
+        z = np.concatenate([np.asarray(z), zp((pad, 3), np.float32)])
+        omega = np.concatenate([np.asarray(omega),
+                                zp((pad, 3, 3), np.float32)])
+        edge_mask = np.concatenate([np.asarray(edge_mask),
+                                    zp(pad, bool)])
+    args = tuple(jnp.asarray(a) for a in (ei, ej, z, omega, edge_mask))
+    step = jax.jit(lambda nd, nm: gn_step_cg_sharded(
+        mesh, nd, nm, *args, jnp.int32(fix_node), axis=axis,
+        cg_iters=cg_iters))
+    it = 0
+    for it in range(1, n_iterations + 1):
+        new = step(nodes, node_mask)
+        dn = float(jnp.linalg.norm(
+            jnp.where(node_mask[:, None], new - nodes, 0.0)))
+        nodes = new
+        if dn < convergence_eps:
+            break
+    return nodes, it
+
+
 def optimize_schur(mesh: Mesh, nodes, node_mask, part: SchurPartition, *,
                    n_iterations: int = 20, convergence_eps=1e-6,
                    axis: str = "d"):

@@ -32,7 +32,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from icp_tpu.ops.raytrace import bresenham_cells
+from icp_tpu.ops.raytrace import bresenham_cells, bresenham_cells_xy
 
 
 def raytrace_update_sharded(mesh: Mesh, log_odds, origin_cell, hit_cells,
@@ -134,4 +134,64 @@ def raytrace_update_block_sharded(mesh: Mesh, log_odds, origin_cell,
         return jnp.clip(lo, lo_min, lo_max)
 
     return _update(log_odds, origin_cell, hit_cells, valid, ray_cells,
+                   ray_valid)
+
+
+def raytrace_replay_block_sharded(mesh: Mesh, log_odds, origin_cells,
+                                  hit_cells, valid, l_hit, l_miss,
+                                  lo_min, lo_max, *, max_steps: int,
+                                  axis: str = "d", ray_cells=None,
+                                  ray_valid=None):
+    """A BATCH of scans painted into the row-block-sharded grid in ONE
+    dispatch — the sharded analog of ``ops.raytrace.raytrace_update_
+    batched`` used to REPLAY keyframes at corrected poses after bundle
+    adjustment (the reference rebuilds its map from corrected poses at
+    every accepted closure, /root/reference/slam.py:618-620 -> :271-277;
+    a 50k-keyframe sharded map cannot afford one dispatch per keyframe).
+
+    origin_cells: (B, 2) int32 per-scan sensor cells; hit_cells:
+    (B, N, 2); valid: (B, N); ``ray_cells``/``ray_valid`` optionally
+    trace free space from a strided subset (see the incremental updater).
+    Log-odds updates are additive and the row blocks partition the grid,
+    so batching scans is exact up to ONE clamp per batch instead of one
+    per scan — the same documented deviation as raytrace_update_batched
+    (only differs for cells that saturate a bound AND receive opposite-
+    sign updates within one batch; the map never feeds registration).
+    Deterministic given inputs, so mesh-size invariance holds exactly.
+    """
+    ny, nx = log_odds.shape
+    n_dev = mesh.shape[axis]
+    assert ny % n_dev == 0, f"ny={ny} must divide mesh size {n_dev}"
+    block_ny = ny // n_dev
+    if ray_cells is None:
+        ray_cells, ray_valid = hit_cells, valid
+    assert ray_valid is not None, "ray_cells requires ray_valid"
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(), P(), P(), P(), P()),
+        out_specs=P(axis, None),
+    )
+    def _update(lo, oc, hc, vm, rc, rvm):
+        r0 = lax.axis_index(axis) * block_ny
+
+        hx = hc[..., 0].reshape(-1)
+        ly = hc[..., 1].reshape(-1) - r0
+        hit_in = (vm.reshape(-1) & (hx >= 0) & (hx < nx)
+                  & (ly >= 0) & (ly < block_ny))
+        hx_s = jnp.where(hit_in, hx, nx)
+        lo = lo.at[ly, hx_s].add(jnp.where(hit_in, l_hit, 0.0), mode="drop")
+
+        x, y, act = jax.vmap(
+            lambda o, h, v: bresenham_cells_xy(o, h, v, max_steps=max_steps)
+        )(oc, rc, rvm)
+        fx = x.reshape(-1)
+        fy = y.reshape(-1) - r0
+        in_b = (act.reshape(-1) & (fx >= 0) & (fx < nx)
+                & (fy >= 0) & (fy < block_ny))
+        fx_s = jnp.where(in_b, fx, nx)
+        lo = lo.at[fy, fx_s].add(jnp.where(in_b, l_miss, 0.0), mode="drop")
+        return jnp.clip(lo, lo_min, lo_max)
+
+    return _update(log_odds, origin_cells, hit_cells, valid, ray_cells,
                    ray_valid)
