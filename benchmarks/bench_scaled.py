@@ -65,14 +65,17 @@ def main():
         icp_max_corr=1.0, icp_max_iterations=30, icp_method=method,
         icp_grid_shape=(160, 160), icp_cell_cap=64, icp_qcells=8192,
         map_ray_stride=int(os.environ.get("BENCH_SCALED_RAY_STRIDE", 8)),
-        kf_capacity=8192, kf_voxel=0.3,
+        kf_capacity=int(os.environ.get("BENCH_SCALED_KF_CAP", 8192)),
+        kf_voxel=0.3,
         submap_keyframes=submap_kf,
-        lc_every=8, lc_min_interval=max(50, n_scans // 10),
+        lc_every=int(os.environ.get("BENCH_SCALED_LC_EVERY", 8)),
+        lc_min_interval=max(50, n_scans // 10),
         # the candidate gate tests ESTIMATED distances, so it must admit
         # the residual drift on top of the true revisit distance;
         # verification rejects false candidates
         lc_distance=15.0, lc_min_travel=60.0, lc_error_threshold=0.05,
         lc_max_candidates=4, ba_every=ba_every,
+        ba_iterations=int(os.environ.get("BENCH_SCALED_BA_ITERS", 10)),
         replay_chunk=int(os.environ.get("BENCH_SCALED_REPLAY_CHUNK", 8)),
         dist_node_threshold=2,
     )
@@ -127,6 +130,8 @@ def main():
         "submap_keyframes": submap_kf,
         "gn_step_ms": round(gn_ms, 2),
         "partition_ms": round(st.partition_wall * 1000, 1),
+        "ba_strategy": pipe.pose_graph.last_strategy,
+        "gn_step_strategy": pipe.gn_step_strategy,
         "ate_m": round(ate, 4),
         "ate_stream_m": round(ate_stream, 4),
         "loop_closures": st.loop_closures,

@@ -197,10 +197,13 @@ class PoseGraph2D:
         # PCG when the per-device dense block (3(i_cap+s))^2 f32 would
         # exceed _schur_dense_budget bytes or the separator count exceeds
         # _max_separators (dense closure clusters make every endpoint of
-        # every cross-chunk edge a separator)
-        self._cg_node_threshold = 3072
+        # every cross-chunk edge a separator).
+        # 2000: the dense path pads to pow2 node buckets, and the TPU LU
+        # custom call OOMs its scoped VMEM past a ~6k x 6k system
+        # (measured: bucket 4096 -> 12288^2 LU dies; 2048 -> 6144^2 fits)
+        self._cg_node_threshold = 2000
         self._schur_dense_budget = 1 << 30
-        self._max_separators = 4096
+        self._max_separators = 2000
         self.last_strategy = None    # "dense" | "cg" | "schur" | "dist_cg"
 
     def set_mesh(self, mesh, node_threshold: int = 1024):
@@ -344,7 +347,10 @@ class PoseGraph2D:
         s = int(len(part.sep_ids))
         i_cap = int(part.int_ids.shape[1])
         dense_bytes = (3 * (i_cap + s)) ** 2 * 4
-        if s > self._max_separators or dense_bytes > self._schur_dense_budget:
+        # i_cap/s bounds also protect the TPU LU custom call, whose scoped
+        # VMEM dies past a ~6k x 6k factorization (see _cg_node_threshold)
+        if (s > self._max_separators or i_cap > self._cg_node_threshold
+                or dense_bytes > self._schur_dense_budget):
             return self._optimize_cg(n_iterations, fix_node,
                                      convergence_eps, mesh=self._mesh)
         self.last_strategy = "schur"

@@ -369,6 +369,7 @@ class ScaledPipeline:
         self._travel = [0.0]
         self._accepts_since_ba = 0
         self._map_dirty = False
+        self.gn_step_strategy = None         # set by time_gn_step
         self.stats = ScaledStats()
 
     # ── helpers ──────────────────────────────────────────────────────────
@@ -647,25 +648,45 @@ class ScaledPipeline:
             self.log_odds = self._replay(
                 self.log_odds, jnp.asarray(pts), jnp.asarray(msk),
                 jnp.asarray(Rs), jnp.asarray(ts))
-        np.asarray(self.log_odds[:1, :1])          # sync for honest timing
+        jax.block_until_ready(self.log_odds)       # sync for honest timing
         self.stats.wall_replay += time.perf_counter() - t0
         self._map_dirty = False
 
     def time_gn_step(self, reps: int = 5) -> float:
-        """Seconds per distributed Schur GN step on the CURRENT graph
-        (compile excluded) — the headline BA kernel number. Also records
-        the host-side partition cost in stats.partition_wall."""
+        """Seconds per distributed GN step on the CURRENT graph (compile
+        excluded) — the headline BA kernel number. Uses the same strategy
+        selection as PoseGraph2D.optimize (exact Schur while the
+        per-device dense block fits, matrix-free PCG past that; the timed
+        strategy lands in ``gn_step_strategy``). Also records the
+        host-side partition cost in stats.partition_wall."""
         from icp_tpu.parallel.dist_pose_graph import (
-            gn_step_schur_sharded, partition_graph,
+            gn_step_cg_sharded, gn_step_schur_sharded, partition_graph,
         )
-        nodes, node_mask, ei, ej, z, om, em = self.pose_graph._packed()
+        pg = self.pose_graph
+        nodes, node_mask, ei, ej, z, om, em = pg._packed()
+        n_dev = int(self.mesh.devices.size)
         t0 = time.perf_counter()
-        part = partition_graph(nodes.shape[0], ei, ej, z, om, em,
-                               int(self.mesh.devices.size), 0)
+        part = partition_graph(nodes.shape[0], ei, ej, z, om, em, n_dev, 0)
         self.stats.partition_wall = time.perf_counter() - t0
+        s = int(len(part.sep_ids))
+        i_cap = int(part.int_ids.shape[1])
         nd = jnp.asarray(nodes)
         nm = jnp.asarray(node_mask)
-        fn = jax.jit(lambda a, b: gn_step_schur_sharded(self.mesh, a, b, part))
+        if (s > pg._max_separators or i_cap > pg._cg_node_threshold
+                or (3 * (i_cap + s)) ** 2 * 4 > pg._schur_dense_budget):
+            self.gn_step_strategy = "cg"
+            e = ei.shape[0]
+            pad = (-e) % n_dev
+            args = [np.concatenate([np.asarray(a), np.zeros(
+                (pad,) + np.asarray(a).shape[1:], np.asarray(a).dtype)])
+                if pad else np.asarray(a) for a in (ei, ej, z, om, em)]
+            args = [jnp.asarray(a) for a in args]
+            fn = jax.jit(lambda a, b: gn_step_cg_sharded(
+                self.mesh, a, b, *args, jnp.int32(0)))
+        else:
+            self.gn_step_strategy = "schur"
+            fn = jax.jit(
+                lambda a, b: gn_step_schur_sharded(self.mesh, a, b, part))
         out = fn(nd, nm)
         np.asarray(out)                      # sync (compile + first run)
         t0 = time.perf_counter()
@@ -676,7 +697,14 @@ class ScaledPipeline:
 
     def map_probability(self) -> np.ndarray:
         """Gathered full probability grid (pulls the sharded blocks after
-        replaying any pending post-BA corrections)."""
+        replaying any pending post-BA corrections). Under multi-process
+        execution the row blocks live on other hosts' devices, so the
+        gather rides an allgather collective."""
         self.sync_map()
-        lo = np.asarray(self.log_odds)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils as mhu
+            lo = np.asarray(mhu.process_allgather(self.log_odds,
+                                                  tiled=True))
+        else:
+            lo = np.asarray(self.log_odds)
         return 1.0 - 1.0 / (1.0 + np.exp(lo))

