@@ -97,6 +97,7 @@ def main():
                 f"ba={pipe.stats.ba_runs}  fb={pipe.stats.gate_fallbacks}  "
                 f"reg {pipe.stats.wall_registration:.1f}s  "
                 f"map {pipe.stats.wall_mapping:.1f}s")
+    pipe.finish()
     np.asarray(pipe.log_odds[:1, :1])              # final sync
     wall = time.perf_counter() - t0
     sps = (n_scans - WARM) / wall

@@ -68,6 +68,7 @@ def run_one(n_dev: int, scans, base_sps=None):
         if k + 1 == WARM:
             jax.block_until_ready(pipe.log_odds)
             t0 = time.perf_counter()
+    pipe.finish()
     jax.block_until_ready(pipe.log_odds)
     wall = time.perf_counter() - t0
     sps = (len(scans) - WARM) / wall

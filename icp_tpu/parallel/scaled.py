@@ -332,29 +332,105 @@ class ScaledPipeline:
 
             icp_kw = dict(self._icp_kw)
             kf_voxel_ = self.kf_voxel
+            kf_cap_ = self.kf_cap
+            # plain Python floats: closing over jnp scalars would embed
+            # DEVICE arrays as trace constants (a host fetch at lowering)
+            gate_d = float(self.gate_dist)
+            gate_y = float(self.gate_yaw)
+            reject = float(self.reject_threshold)
+
+            def _snap(R):
+                """SO(2) projection via yaw (see _ortho: the pose ->
+                prediction -> init feedback loop amplifies f32
+                non-orthonormality geometrically without it)."""
+                yaw = jnp.arctan2(R[1, 0], R[0, 0])
+                c, s = jnp.cos(yaw), jnp.sin(yaw)
+                return jnp.stack([jnp.stack([c, -s]), jnp.stack([s, c])])
 
             @jax.jit
-            def _register(sp, sm, ring_pts, ring_mask, R0, t0):
-                """Register the sensor-frame scan directly against the
-                world-frame submap: the accumulated (R, t) IS the world
-                pose. Replaces scan-to-scan odometry + a separate submap
-                correction pass (reference slam.py:465-536) with ONE
-                cell-grid ICP whose target already aggregates the last S
-                keyframes — drift accrues per submap horizon, not per
-                scan. The flattened ring is voxel-merged first (the
-                reference's _build_submap, slam.py:103-108): S keyframes
-                stack near-duplicate wall samples ~S deep, which would
-                overflow the dense grid's per-cell capacity."""
+            def _fused_reg(ring_pts, ring_mask, pR, pt, iR, it_,
+                           sp, sm, slot):
+                """One fused dispatch per scan: constant-velocity
+                prediction, scan-to-submap registration, agreement gate,
+                keyframe voxelization and ring push — with the pose
+                carried ON DEVICE. The sharded map paint stays a SEPARATE
+                dispatch chained on this one's device outputs: fusing the
+                shard_map into this program makes GSPMD replicate the
+                whole registration across the mesh (8x redundant compute
+                on virtual-device rigs); chaining two async dispatches
+                keeps zero host syncs per scan either way — the host only
+                uploads the scan and (asynchronously) pulls the small
+                outputs, so the steady state has no blocking round trip
+                (the remote-backend fetch latency, not compute, dominated
+                the unfused per-scan wall time at ~6 syncs/scan).
+
+                Registration: the sensor-frame scan aligns directly
+                against the world-frame submap ring (voxel-merged first —
+                the reference's _build_submap, slam.py:103-108 — because
+                S keyframes stack near-duplicate wall samples ~S deep,
+                which would overflow the dense grid's per-cell capacity);
+                the accumulated (R, t) IS the world pose, so drift
+                accrues per submap horizon, not per scan. Replaces
+                scan-to-scan odometry + separate submap correction
+                (reference slam.py:465-536); the gate is the reference's
+                agreement gate (slam.py:520-531) evaluated in-graph.
+                """
+                Rp = pR @ iR                       # predicted pose
+                tp = pR @ it_ + pt
                 flat = ring_pts.reshape(-1, 2)
                 fm = ring_mask.reshape(-1)
                 tgt, tm = voxel_downsample_fixed(flat, fm, kf_voxel_,
                                                  flat.shape[0])
-                return icp_large(sp, sm, tgt, tm, R0, t0, **icp_kw)
+                res = icp_large(sp, sm, tgt, tm, Rp, tp, **icp_kw)
 
-            self._register = _register
+                d_pos = jnp.linalg.norm(res.t - tp)
+                yaw_n = jnp.arctan2(res.R[1, 0], res.R[0, 0])
+                yaw_p = jnp.arctan2(Rp[1, 0], Rp[0, 0])
+                d_yaw = jnp.abs((yaw_n - yaw_p + jnp.pi)
+                                % (2 * jnp.pi) - jnp.pi)
+                ok = ((res.error <= reject) & (d_pos <= gate_d)
+                      & (d_yaw <= gate_y))
+                Rn = _snap(jnp.where(ok, res.R, Rp))
+                tn = jnp.where(ok, res.t, tp)
+                iRn = _snap(pR.T @ Rn)             # relative increment
+                itn = pR.T @ (tn - pt)
+
+                kf_p, kf_m = voxel_downsample_fixed(sp, sm, kf_voxel_,
+                                                    kf_cap_)
+                world = (kf_p @ Rn.T + tn)[None]
+                ring_pts = jax.lax.dynamic_update_slice(
+                    ring_pts, world, (slot, 0, 0))
+                ring_mask = jax.lax.dynamic_update_slice(
+                    ring_mask, kf_m[None], (slot, 0))
+                out = (Rn, tn, res.error, res.iters, ok, kf_p, kf_m)
+                return ring_pts, ring_mask, Rn, tn, iRn, itn, out
+
+            self._fused_reg = _fused_reg
+
+            @jax.jit
+            def _kf_init(ring_pts, ring_mask, sp, sm):
+                """First scan: seed the ring at the identity pose
+                (reference slam.py:388-453); the paint chains after."""
+                kf_p, kf_m = voxel_downsample_fixed(sp, sm, kf_voxel_,
+                                                    kf_cap_)
+                ring_pts = jax.lax.dynamic_update_slice(
+                    ring_pts, kf_p[None], (0, 0, 0))
+                ring_mask = jax.lax.dynamic_update_slice(
+                    ring_mask, kf_m[None], (0, 0))
+                return ring_pts, ring_mask, kf_p, kf_m
+
+            self._kf_init = _kf_init
+            self._register = _fused_reg            # marker: submap mode on
+            # device-resident pose carry (submap mode streams without a
+            # per-scan host sync; the host mirror is updated at drain)
+            self._dev_pR = jnp.eye(2, dtype=jnp.float32)
+            self._dev_pt = jnp.zeros(2, jnp.float32)
+            self._dev_iR = jnp.eye(2, dtype=jnp.float32)
+            self._dev_it = jnp.zeros(2, jnp.float32)
         else:
             self._ring_pts = self._ring_mask = None
             self._register = None
+        self._pending: list = []                   # in-flight step outputs
 
         # ── pose graph on the mesh ───────────────────────────────────────
         self.pose_graph = PoseGraph2D()
@@ -366,6 +442,7 @@ class ScaledPipeline:
         self.kf_pos: list[np.ndarray] = []
         self._prev = None                        # (padded pts, mask) device
         self._prev_inc = np.eye(3, dtype=np.float32)   # last relative motion
+        self._n_seen = 0                         # scans handed to step()
         self._travel = [0.0]
         self._accepts_since_ba = 0
         self._map_dirty = False
@@ -450,51 +527,111 @@ class ScaledPipeline:
     def step(self, points: np.ndarray):
         """One scan: register (scan-to-submap or scan-to-scan) -> pose ->
         node/edge -> sharded map paint -> periodic loop-closure check ->
-        online BA. ``points`` is (n, 2) sensor frame."""
+        online BA. ``points`` is (n, 2) sensor frame.
+
+        In submap mode the whole per-scan compute is ONE fused dispatch
+        with the pose carried on device; small outputs stream back
+        asynchronously and are bookkept in _drain() — at the latest
+        before every loop-closure check. Call finish() (or optimize())
+        after the last scan before reading trajectory/stats."""
         sp, sm = pad_points(points[:self.cap], self.cap)
         sp, sm = jnp.asarray(sp), jnp.asarray(sm)
 
+        if self._register is not None:
+            return self._step_fused(sp, sm)
+        return self._step_legacy(sp, sm)
+
+    def _step_fused(self, sp, sm):
+        idx = self._n_seen
+        t0 = time.perf_counter()
+        if idx == 0:
+            self._ring_pts, self._ring_mask, kf_p, kf_m = self._kf_init(
+                self._ring_pts, self._ring_mask, sp, sm)
+            Rn = jnp.eye(2, dtype=jnp.float32)
+            tn = jnp.zeros(2, jnp.float32)
+            out = (Rn, tn, jnp.float32(0.0), jnp.int32(0), jnp.bool_(True),
+                   kf_p, kf_m)
+        else:
+            (self._ring_pts, self._ring_mask, Rn, tn,
+             self._dev_iR, self._dev_it, out) = self._fused_reg(
+                self._ring_pts, self._ring_mask,
+                self._dev_pR, self._dev_pt, self._dev_iR, self._dev_it,
+                sp, sm, jnp.int32(idx % self.submap_kf))
+            self._dev_pR, self._dev_pt = Rn, tn
+        # the sharded paint chains on the device pose — no host sync
+        self.log_odds = self._paint(self.log_odds, sp, sm, Rn, tn)
+        for x in out:
+            x.copy_to_host_async()
+        self._pending.append(out)
+        self._n_seen += 1
+        if len(self._pending) >= 64:       # bound in-flight buffers
+            self._drain()
+        self.stats.wall_registration += time.perf_counter() - t0
+
+        cur_idx = idx
+        if (cur_idx >= self.lc_min_interval
+                and cur_idx % self.lc_every == 0):
+            self._drain()
+            t0 = time.perf_counter()
+            accepted = self._try_loop_closure(cur_idx)
+            self.stats.wall_lc += time.perf_counter() - t0
+            if accepted:
+                self._accepts_since_ba += 1
+                if (self.ba_every > 0
+                        and self._accepts_since_ba >= self.ba_every):
+                    t1 = time.perf_counter()
+                    self._run_ba(self.ba_iters)
+                    self.stats.wall_ba += time.perf_counter() - t1
+
+    def _drain(self):
+        """Bookkeep in-flight fused-step outputs (host mirror of poses,
+        keyframes, graph nodes/edges, stats)."""
+        t0 = time.perf_counter()
+        for out in self._pending:
+            Rn, tn, err, iters, ok, kf_p, kf_m = (np.asarray(x)
+                                                  for x in out)
+            err = float(err)
+            if not bool(ok):
+                self.stats.gate_fallbacks += 1
+                err = self.reject_threshold        # weak odometry edge
+            self.stats.icp_iters += int(iters)
+            self.global_pose = _mat(Rn, tn)
+            idx = len(self.trajectory)
+            self.trajectory.append(self.global_pose.copy())
+            self.kf_points.append(kf_p[kf_m])
+            self.kf_pos.append(self.global_pose[:2, 2].copy())
+            if idx > 0:
+                self._travel.append(self._travel[-1] + float(
+                    np.linalg.norm(self.kf_pos[-1] - self.kf_pos[-2])))
+            self._add_node_edge(err if idx > 0 else 1.0)
+            self.stats.scans += 1
+        self._pending.clear()
+        self.stats.wall_registration += time.perf_counter() - t0
+
+    def finish(self):
+        """Drain in-flight results; call after the last step() before
+        reading trajectory / kf_points / stats."""
+        if self._pending:
+            self._drain()
+
+    def _step_legacy(self, sp, sm):
+        """Scan-to-scan mode (submap_keyframes=0), initialized with the
+        previous increment (reference slam.py:465-494)."""
         if not self.trajectory:
             self._prev = (sp, sm)
             self._push_keyframe(sp, sm, 1.0)
             return
 
-        T_pred = (self.global_pose @ self._prev_inc).astype(np.float32)
         t0 = time.perf_counter()
-        if self._register is not None:
-            res = self._register(
-                sp, sm, self._ring_pts, self._ring_mask,
-                jnp.asarray(T_pred[:2, :2]), jnp.asarray(T_pred[:2, 2]))
-            R_new = np.asarray(res.R)
-            t_new = np.asarray(res.t)
-            err = float(res.error)
-            self.stats.icp_iters += int(res.iters)
-            # agreement gate vs the constant-velocity prediction
-            # (reference slam.py:520-531): a submap match that teleports
-            # is a mismatch, keep the prediction instead
-            d_pos = float(np.linalg.norm(t_new - T_pred[:2, 2]))
-            yaw_new = float(np.arctan2(R_new[1, 0], R_new[0, 0]))
-            yaw_pred = float(np.arctan2(T_pred[1, 0], T_pred[0, 0]))
-            d_yaw = abs((yaw_new - yaw_pred + np.pi) % (2 * np.pi) - np.pi)
-            if (err > self.reject_threshold or d_pos > self.gate_dist
-                    or d_yaw > self.gate_yaw):
-                self.stats.gate_fallbacks += 1
-                pose_new = T_pred
-                err = self.reject_threshold        # weak odometry edge
-            else:
-                pose_new = _mat(R_new, t_new)
-        else:
-            # legacy scan-to-scan mode (submap_keyframes=0), initialized
-            # with the previous increment (reference slam.py:465-494)
-            pp, pm = self._prev
-            inc_init = _inv(self._prev_inc)
-            res = icp_large(pp, pm, sp, sm,
-                            jnp.asarray(inc_init[:2, :2]),
-                            jnp.asarray(inc_init[:2, 2]), **self._icp_kw)
-            err = float(res.error)
-            self.stats.icp_iters += int(res.iters)
-            T_inc = _mat(np.asarray(res.R), np.asarray(res.t))
-            pose_new = (self.global_pose @ _inv(T_inc)).astype(np.float32)
+        pp, pm = self._prev
+        inc_init = _inv(self._prev_inc)
+        res = icp_large(pp, pm, sp, sm,
+                        jnp.asarray(inc_init[:2, :2]),
+                        jnp.asarray(inc_init[:2, 2]), **self._icp_kw)
+        err = float(res.error)
+        self.stats.icp_iters += int(res.iters)
+        T_inc = _mat(np.asarray(res.R), np.asarray(res.t))
+        pose_new = (self.global_pose @ _inv(T_inc)).astype(np.float32)
         self.stats.wall_registration += time.perf_counter() - t0
 
         pose_new = _ortho(pose_new)
@@ -610,11 +747,20 @@ class ScaledPipeline:
             self._prev_inc = (_inv(self.trajectory[-2])
                               @ self.trajectory[-1]).astype(np.float32)
         self._rebuild_ring()
+        if self._register is not None:
+            # push the corrected pose/increment into the device carry so
+            # the next fused step predicts from post-BA state
+            T = self.trajectory[-1]
+            self._dev_pR = jnp.asarray(T[:2, :2])
+            self._dev_pt = jnp.asarray(T[:2, 2])
+            self._dev_iR = jnp.asarray(self._prev_inc[:2, :2])
+            self._dev_it = jnp.asarray(self._prev_inc[:2, 2])
         self._map_dirty = True
 
     def optimize(self, n_iterations: int = 20):
         """Terminal BA over the whole keyframe graph + map repaint from the
         corrected poses (reference slam.py:601-620)."""
+        self.finish()
         t0 = time.perf_counter()
         self._run_ba(n_iterations)
         self.stats.wall_ba += time.perf_counter() - t0
@@ -662,6 +808,7 @@ class ScaledPipeline:
         from icp_tpu.parallel.dist_pose_graph import (
             gn_step_cg_sharded, gn_step_schur_sharded, partition_graph,
         )
+        self.finish()
         pg = self.pose_graph
         nodes, node_mask, ei, ej, z, om, em = pg._packed()
         n_dev = int(self.mesh.devices.size)
@@ -700,6 +847,7 @@ class ScaledPipeline:
         replaying any pending post-BA corrections). Under multi-process
         execution the row blocks live on other hosts' devices, so the
         gather rides an allgather collective."""
+        self.finish()
         self.sync_map()
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils as mhu

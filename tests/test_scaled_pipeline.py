@@ -68,6 +68,7 @@ def test_scaled_pipeline_end_to_end_8dev(scans, monkeypatch):
     assert pipe.log_odds.sharding.is_fully_replicated is False
     for p in pts:
         pipe.step(p)
+    pipe.finish()
     assert pipe.stats.scans == N_SCANS
     assert pipe.stats.lc_checked >= 1, "loop gates never fired"
 
@@ -105,6 +106,8 @@ def test_scaled_pipeline_mesh_invariance(scans):
     for p in pts[:12]:
         a.step(p)
         b.step(p)
+    a.finish()
+    b.finish()
     ta = np.stack([m[:2, 2] for m in a.trajectory])
     tb = np.stack([m[:2, 2] for m in b.trajectory])
     np.testing.assert_allclose(ta, tb, atol=1e-4)
@@ -130,6 +133,7 @@ def test_online_ba_repaints_and_corrects(scans):
     pipe = _make(1)
     for p in pts:
         pipe.step(p)
+    pipe.finish()
     assert pipe.stats.loop_closures >= 1, "fixture produced no closures"
     assert pipe.stats.ba_runs >= 1, "online BA never ran"
     assert pipe._map_dirty, "accepted closure did not mark the map stale"
