@@ -243,7 +243,9 @@ class SlamEngine:
                 if setting != "auto":
                     raise ValueError(f"sweep capacity must be int, 'auto' "
                                      f"or None, got {setting!r}")
-                cap = max(256, int(np.ceil(n0 * factor / 64.0)) * 64)
+                # multiple of 128 (TPU lane width — the sweep clouds feed
+                # the Pallas streaming-min kernel's lane axis)
+                cap = max(256, int(np.ceil(n0 * factor / 128.0)) * 128)
                 return min(cap, int(hard_cap))
             return int(setting)
 
