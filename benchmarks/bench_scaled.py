@@ -75,6 +75,7 @@ def main():
         # verification rejects false candidates
         lc_distance=15.0, lc_min_travel=60.0, lc_error_threshold=0.05,
         lc_max_candidates=4, ba_every=ba_every,
+        lc_cooldown=int(os.environ.get("BENCH_SCALED_LC_COOLDOWN", 0)),
         ba_iterations=int(os.environ.get("BENCH_SCALED_BA_ITERS", 10)),
         replay_chunk=int(os.environ.get("BENCH_SCALED_REPLAY_CHUNK", 8)),
         dist_node_threshold=2,

@@ -158,6 +158,7 @@ class ScaledPipeline:
                  lc_info_scale: float = 10.0,
                  lc_max_candidates: int = 4,
                  lc_min_frac: float = 0.5,
+                 lc_cooldown: int = 0,
                  ba_every: int = 1,
                  ba_iterations: int = 10,
                  replay_chunk: int = 8,
@@ -185,6 +186,13 @@ class ScaledPipeline:
         self.lc_info_scale = float(lc_info_scale)
         self.lc_max_candidates = max(int(lc_max_candidates), 1)
         self.lc_min_frac = float(lc_min_frac)
+        # one closure per revisit instead of per-check re-closing: repeated
+        # closures in one revisit window stack the same measurement's bias
+        # and multiply BA runs (engine analysis, BENCHMARKS.md "Loop-
+        # closure accuracy"; the 50k run accepted 281 correlated closures
+        # without it). 0 = reference behavior (slam.py re-checks per scan)
+        self.lc_cooldown = int(lc_cooldown)
+        self._last_lc_accept = None
         self.ba_every = int(ba_every)
         self.ba_iters = int(ba_iterations)
         self.replay_chunk = max(int(replay_chunk), 1)
@@ -655,6 +663,9 @@ class ScaledPipeline:
 
     # ── loop closure (reference gates, slam.py:231-268) ──────────────────
     def _try_loop_closure(self, cur_idx: int) -> bool:
+        if (self.lc_cooldown > 0 and self._last_lc_accept is not None
+                and cur_idx - self._last_lc_accept < self.lc_cooldown):
+            return False
         pos = np.stack(self.kf_pos)
         cur = pos[cur_idx]
         idx = np.arange(len(pos))
@@ -719,6 +730,7 @@ class ScaledPipeline:
                 np.eye(3, dtype=np.float32) * (self.lc_info_scale
                                                / max(err, 1e-6)))
             self.stats.loop_closures += 1
+            self._last_lc_accept = cur_idx
             return True
         return False
 
