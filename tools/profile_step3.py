@@ -183,6 +183,8 @@ def main():
 
     # no submap rotation search (use predicted pose directly)
     def srs_stub(src, sm, tgt, tm, pred, **kw):
+        if kw.get("with_overflow"):
+            return (pred[:2, :2], pred[:2, 2], jnp.int32(0), jnp.int32(0))
         return pred[:2, :2], pred[:2, 2]
     if want("nosrs"):
         t = time_variant("  - submap rot search stubbed",
