@@ -442,6 +442,7 @@ class ScaledPipeline:
 
         # ── pose graph on the mesh ───────────────────────────────────────
         self.pose_graph = PoseGraph2D()
+        self._dist_threshold = int(dist_node_threshold)
         if D > 1:
             self.pose_graph.set_mesh(mesh, dist_node_threshold)
         self.global_pose = np.eye(3, dtype=np.float32)
@@ -853,6 +854,107 @@ class ScaledPipeline:
             out = fn(nd, nm)
         np.asarray(out)
         return (time.perf_counter() - t0) / reps
+
+    # ── checkpoint / resume (long-run production support; the engine's
+    # analog is SlamEngine.save/load_checkpoint) ─────────────────────────
+    def save_checkpoint(self, path: str):
+        """Persist full pipeline state (poses, keyframes, graph, grid,
+        LC/BA bookkeeping) to one npz. The grid is gathered (allgather
+        under multi-process) — at 50k keyframes the keyframe clouds
+        dominate the file, not the map."""
+        self.finish()
+        n = len(self.kf_points)
+        lens = np.array([len(p) for p in self.kf_points], np.int64)
+        flat = (np.concatenate(self.kf_points) if n
+                else np.zeros((0, 2), np.float32))
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils as mhu
+            lo = np.asarray(mhu.process_allgather(self.log_odds,
+                                                  tiled=True))
+        else:
+            lo = np.asarray(self.log_odds)
+        pg = self.pose_graph
+        np.savez_compressed(
+            path,
+            poses=np.stack(self.trajectory)
+            if n else np.zeros((0, 3, 3), np.float32),
+            kf_lens=lens,
+            kf_flat=flat,
+            travel=np.asarray(self._travel, np.float64),
+            prev_inc=self._prev_inc,
+            log_odds=lo,
+            map_dirty=np.array([self._map_dirty]),
+            pg_ei=np.array(pg._edges_i, np.int32),
+            pg_ej=np.array(pg._edges_j, np.int32),
+            pg_z=(np.stack(pg._edges_z) if pg.n_edges
+                  else np.zeros((0, 3), np.float32)),
+            pg_om=(np.stack(pg._edges_om) if pg.n_edges
+                   else np.zeros((0, 3, 3), np.float32)),
+            stats=np.array([self.stats.scans, self.stats.loop_closures,
+                            self.stats.gate_fallbacks, self.stats.ba_runs,
+                            self._accepts_since_ba,
+                            self._last_lc_accept
+                            if self._last_lc_accept is not None else -1,
+                            self._n_seen], np.int64),
+        )
+
+    def load_checkpoint(self, path: str):
+        """Restore state saved by save_checkpoint; resume step() after.
+        Rebuilds the pose-graph nodes from the trajectory (nodes ARE the
+        poses in this pipeline), the submap ring, and the device pose
+        carry."""
+        d = np.load(path)
+        poses = d["poses"].astype(np.float32)
+        self.trajectory = [poses[k].copy() for k in range(len(poses))]
+        self.kf_points = []
+        off = 0
+        flat = d["kf_flat"].astype(np.float32)
+        for ln in d["kf_lens"]:
+            self.kf_points.append(flat[off:off + ln])
+            off += ln
+        self.kf_pos = [m[:2, 2].copy() for m in self.trajectory]
+        self._travel = list(d["travel"])
+        self._prev_inc = d["prev_inc"].astype(np.float32)
+        self.global_pose = (self.trajectory[-1].copy() if self.trajectory
+                            else np.eye(3, dtype=np.float32))
+        self.log_odds = jax.device_put(
+            jnp.asarray(d["log_odds"]), block_sharding(self.mesh))
+        self._map_dirty = bool(d["map_dirty"][0])
+        self.pose_graph = PoseGraph2D()
+        if int(self.mesh.devices.size) > 1:
+            self.pose_graph.set_mesh(self.mesh, self._dist_threshold)
+        for T in self.trajectory:
+            self.pose_graph.add_node(np.array(
+                [T[0, 2], T[1, 2], np.arctan2(T[1, 0], T[0, 0])],
+                np.float32))
+        for i, j, z, om in zip(d["pg_ei"], d["pg_ej"], d["pg_z"],
+                               d["pg_om"]):
+            self.pose_graph.add_edge(int(i), int(j), z, om)
+        st = d["stats"]
+        self.stats.scans = int(st[0])
+        self.stats.loop_closures = int(st[1])
+        self.stats.gate_fallbacks = int(st[2])
+        self.stats.ba_runs = int(st[3])
+        self._accepts_since_ba = int(st[4])
+        self._last_lc_accept = None if int(st[5]) < 0 else int(st[5])
+        self._n_seen = int(st[6])
+        self._pending = []
+        self._rebuild_ring()
+        if self._register is not None and self.trajectory:
+            T = self.trajectory[-1]
+            self._dev_pR = jnp.asarray(T[:2, :2])
+            self._dev_pt = jnp.asarray(T[:2, 2])
+            self._dev_iR = jnp.asarray(self._prev_inc[:2, :2])
+            self._dev_it = jnp.asarray(self._prev_inc[:2, 2])
+        elif self.trajectory:
+            # legacy scan-to-scan mode registers against the previous RAW
+            # scan, which checkpoints don't keep (only voxelized
+            # keyframes are retained — the scalable choice at 50k
+            # keyframes); resume is a submap-mode feature
+            raise NotImplementedError(
+                "checkpoint resume requires submap mode "
+                "(submap_keyframes > 0); scan-to-scan mode would need "
+                "the last raw scan")
 
     def map_probability(self) -> np.ndarray:
         """Gathered full probability grid (pulls the sharded blocks after

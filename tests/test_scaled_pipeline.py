@@ -198,3 +198,46 @@ def test_lc_verify_partial_overlap():
         jnp.asarray(ap), jnp.asarray(am), jnp.asarray(cp), jnp.asarray(cm),
         jnp.eye(2, dtype=jnp.float32), jnp.zeros(2, jnp.float32))
     assert float(frac_junk) < 0.5
+
+
+def test_scaled_checkpoint_resume(scans, tmp_path):
+    """A mid-run checkpoint resumes into the same downstream trajectory
+    as the uninterrupted run (production long-run support — the engine's
+    checkpoint analog for the 50k-keyframe axis). LC/BA bookkeeping
+    (accepts-since-BA, cooldown anchor) must survive the round trip."""
+    pts, gt = scans
+
+    full = _make(1)
+    for p in pts:
+        full.step(p)
+    full.finish()
+
+    a = _make(1)
+    cut = 20
+    for p in pts[:cut]:
+        a.step(p)
+    ck = str(tmp_path / "scaled.npz")
+    a.save_checkpoint(ck)
+
+    b = _make(1)
+    b.load_checkpoint(ck)
+    assert b.stats.scans == a.stats.scans == cut
+    assert len(b.kf_points) == cut
+    np.testing.assert_allclose(b.global_pose, a.global_pose, atol=1e-6)
+    for p in pts[cut:]:
+        b.step(p)
+    b.finish()
+
+    assert b.stats.scans == full.stats.scans
+    ta = np.stack([m[:2, 2] for m in full.trajectory])
+    tb = np.stack([m[:2, 2] for m in b.trajectory])
+    assert len(ta) == len(tb)
+    # the ring is rebuilt by a different compiled program than the
+    # in-step push (different op fusion -> ~1 ulp), and iterative ICP
+    # amplifies that chaotically — measured ~1 mm over 20 scans; bound
+    # well under the world's ~0.17 m ATE
+    ate = float(np.sqrt(np.mean(np.sum((ta - tb) ** 2, axis=1))))
+    assert ate < 0.05, f"resume divergence ATE {ate:.5f} m"
+    # closure count carried through the checkpoint and matches the
+    # uninterrupted run (b restored a's counter and continued from it)
+    assert b.stats.loop_closures == full.stats.loop_closures
