@@ -178,6 +178,57 @@ def raytrace_update(
     return jnp.clip(log_odds, lo_min, lo_max)
 
 
+def dedup_scatter_add(flat, key, n_flat, value, unique_cap: int):
+    """Scatter ``value`` at every entry of ``key`` (< n_flat; sentinel
+    n_flat = masked) into the 1-D ``flat`` array — via sorted run-length
+    encoding: each UNIQUE cell gets ONE scatter slot with count*value.
+
+    Sum-exact (all addends equal), and worth ~an order of magnitude when
+    duplication is high: TPU scatter-add costs ~10 ns per scattered
+    element regardless of duplicates (tools/profile_scatter.py), while
+    the sort runs vectorized — a Bresenham free-cell set at 10^5 points
+    per scan duplicates each cell ~40x. Falls back in-graph to the exact
+    full scatter when the unique count exceeds ``unique_cap`` (perf knob,
+    never correctness). Same construction as raytrace_update_batched's
+    compact path (see its docstring for why the two single-key sorts
+    align by construction)."""
+    n = key.size
+    key = key.astype(jnp.int32)
+    if unique_cap is None or unique_cap >= n:
+        return flat.at[key].add(
+            jnp.where(key < n_flat, value, 0.0), mode="drop")
+    n_act = jnp.sum(key < n_flat)
+    sk = lax.sort(key, is_stable=False)
+    prev = jnp.concatenate([jnp.full((1,), -1, sk.dtype), sk[:-1]])
+    newseg = (sk != prev) & (sk < n_flat)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    n_seg = jnp.sum(newseg)
+
+    bpos = jnp.where(newseg, idx, n).astype(jnp.int32)
+    m = min(unique_cap + 1, n)
+    pos = lax.sort(bpos, is_stable=False)[:m]
+    if m < unique_cap + 1:
+        pos = jnp.pad(pos, (0, unique_cap + 1 - m), constant_values=n)
+    pos_c = jnp.minimum(pos, n_act)
+    cnt = jnp.maximum(pos_c[1:] - pos_c[:-1], 0)
+    k2 = jnp.where(newseg, sk, jnp.int32(n_flat))
+    mu = min(unique_cap, n)
+    uk = lax.sort(k2, is_stable=False)[:mu]
+    if mu < unique_cap:
+        uk = jnp.pad(uk, (0, unique_cap - mu), constant_values=n_flat)
+
+    def compact(f):
+        return f.at[uk].add(
+            jnp.where(uk < n_flat, cnt.astype(f.dtype) * value, 0.0),
+            mode="drop")
+
+    def full(f):
+        return f.at[key].add(jnp.where(key < n_flat, value, 0.0),
+                             mode="drop")
+
+    return lax.cond(n_seg > unique_cap, full, compact, flat)
+
+
 @partial(jax.jit, static_argnames=("max_steps", "unique_cap", "scan_cap"))
 def raytrace_update_batched(
     log_odds, origin_cells, hit_cells, valid,

@@ -266,6 +266,14 @@ class ScaledPipeline:
         self.lo_min, self.lo_max = float(log_odds_min), float(log_odds_max)
         self.max_steps = int(np.ceil(
             1.2 * self.max_range / self.resolution / 64.0)) * 64
+        # static per-device capacity for the deduplicated free-cell
+        # scatter: unique free cells per scan are bounded by the sensor
+        # disc (pi r^2 / res^2), split ~evenly across the D row blocks;
+        # 1.3x headroom, overflow falls back to the full scatter in-graph
+        disc = np.pi * (self.max_range / self.resolution) ** 2
+        self.free_unique_cap = min(
+            int(np.ceil(disc * 1.3 / D / 8192.0)) * 8192,
+            (self.ny // D) * self.nx)
         self.log_odds = jax.device_put(
             jnp.zeros((self.ny, self.nx), jnp.float32), block_sharding(mesh))
 
@@ -275,6 +283,7 @@ class ScaledPipeline:
         lo_min, lo_max = self.lo_min, self.lo_max
         minx, miny, inv_res = self.min_x, self.min_y, 1.0 / self.resolution
         stride = self.map_ray_stride
+        fu_cap = self.free_unique_cap
 
         @jax.jit
         def _paint(grid, pts, mask, R, t):
@@ -295,6 +304,7 @@ class ScaledPipeline:
                 jnp.float32(l_hit), jnp.float32(l_miss),
                 jnp.float32(lo_min), jnp.float32(lo_max), max_steps=ms,
                 ray_cells=ray_cells, ray_valid=ray_valid,
+                free_unique_cap=fu_cap,
             )
 
         self._paint = _paint

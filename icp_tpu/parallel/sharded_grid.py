@@ -32,7 +32,8 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from icp_tpu.ops.raytrace import bresenham_cells, bresenham_cells_xy
+from icp_tpu.ops.raytrace import (bresenham_cells, bresenham_cells_xy,
+                                  dedup_scatter_add)
 
 
 def raytrace_update_sharded(mesh: Mesh, log_odds, origin_cell, hit_cells,
@@ -79,7 +80,8 @@ def raytrace_update_block_sharded(mesh: Mesh, log_odds, origin_cell,
                                   hit_cells, valid, l_hit, l_miss,
                                   lo_min, lo_max, *, max_steps: int,
                                   axis: str = "d", ray_cells=None,
-                                  ray_valid=None):
+                                  ray_valid=None,
+                                  free_unique_cap: int | None = None):
     """Occupancy update on a row-block-sharded grid (memory scaling).
 
     ``log_odds`` is (ny, nx) sharded ``P(axis, None)`` (ny divisible by the
@@ -99,6 +101,12 @@ def raytrace_update_block_sharded(mesh: Mesh, log_odds, origin_cell,
     per scan the free-space rays are hugely redundant against a coarse
     grid, and shrinking the array (not just masking it) shrinks the
     Bresenham planes and the scatter by the same factor.
+
+    ``free_unique_cap``: static per-device capacity for the deduplicated
+    free-cell scatter (ops.raytrace.dedup_scatter_add): a 10^5-pt scan's
+    Bresenham set duplicates each free cell ~40x and the scatter costs
+    ~10 ns/ELEMENT, so RLE-compacting first is worth most of the paint
+    time. Sum-exact; overflow falls back in-graph to the full scatter.
     """
     ny, nx = log_odds.shape
     n_dev = mesh.shape[axis]
@@ -129,8 +137,10 @@ def raytrace_update_block_sharded(mesh: Mesh, log_odds, origin_cell,
         fy = cells[..., 1].reshape(-1) - r0
         act = active.reshape(-1)
         in_b = act & (fx >= 0) & (fx < nx) & (fy >= 0) & (fy < block_ny)
-        fx_s = jnp.where(in_b, fx, nx)
-        lo = lo.at[fy, fx_s].add(jnp.where(in_b, l_miss, 0.0), mode="drop")
+        n_flat = block_ny * nx
+        key = jnp.where(in_b, fy * nx + fx, n_flat)
+        lo = dedup_scatter_add(lo.reshape(-1), key, n_flat, l_miss,
+                               free_unique_cap).reshape(block_ny, nx)
         return jnp.clip(lo, lo_min, lo_max)
 
     return _update(log_odds, origin_cell, hit_cells, valid, ray_cells,

@@ -153,6 +153,16 @@ def test_raytrace_block_sharded_matches_single():
     want = raytrace_update(grid_host, origin, hits, ok, *args, max_steps=96)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
+    # deduplicated free-cell scatter (RLE compaction): sum-exact vs the
+    # duplicate scatter, on both the compact path and the overflow
+    # fallback (cap 8 << unique cells)
+    for cap in (512, 8):
+        got_d = raytrace_update_block_sharded(
+            mesh, grid, origin, hits, ok, *args, max_steps=96,
+            free_unique_cap=cap)
+        np.testing.assert_allclose(np.asarray(got_d), np.asarray(want),
+                                   atol=1e-4)
+
 
 def test_graft_entry_compiles():
     mod = _graft()
