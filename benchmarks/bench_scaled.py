@@ -140,6 +140,7 @@ def main():
         "lc_checked": st.lc_checked,
         "ba_runs": st.ba_runs,
         "gate_fallbacks": st.gate_fallbacks,
+        "reg_dropped_points": st.reg_dropped_points,
         "wall_replay_s": round(st.wall_replay, 2),
         "map_cells": pipe.ny * pipe.nx,
         "backend": jax.default_backend(),

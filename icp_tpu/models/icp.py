@@ -47,6 +47,14 @@ class ICPResult(NamedTuple):
     error: jax.Array      # scalar mean squared NN residual
     iters: jax.Array      # iterations executed
     n_inliers: jax.Array  # inlier count at the last executed iteration
+    # points silently outside static capacities (icp_large: target cells
+    # over `cap` / grid extent + final-bin query overflow past
+    # qcells/qcap; 0 for the brute-force paths). Callers surface this —
+    # a saturated capacity degrades matching invisibly otherwise
+    # ("no silent caps"; the round-3 submap-ring density bug presented
+    # exactly as an unexplained inlier collapse). Plain-int default: a
+    # jnp default here would initialize a backend at module import.
+    dropped: jax.Array | int = 0
 
 
 def _nn_tiles(n: int, m: int):
@@ -390,5 +398,7 @@ def icp_large(
     carry0 = (jnp.int32(0), cq0, R_init, t_init, inf, inf,
               jnp.bool_(False), jnp.float32(0), jnp.float32(0))
     out = lax.while_loop(cond, body, carry0)
-    it, _, r_total, t_total, _, error, _, n_in, _ = out
-    return ICPResult(r_total, t_total, error, it, n_in.astype(jnp.int32))
+    it, (cq_f, _), r_total, t_total, _, error, _, n_in, _ = out
+    dropped = grid.overflow + cq_f.overflow
+    return ICPResult(r_total, t_total, error, it, n_in.astype(jnp.int32),
+                     dropped)

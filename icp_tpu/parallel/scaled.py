@@ -71,6 +71,7 @@ class ScaledStats:
     lc_checked: int = 0            # closure checks that had candidates
     lc_candidates: int = 0         # candidate lanes actually verified
     gate_fallbacks: int = 0        # submap registrations failing the gate
+    reg_dropped_points: int = 0    # points lost to static ICP capacities
     ba_runs: int = 0               # online BA invocations
     icp_iters: int = 0
     wall_registration: float = 0.0
@@ -420,7 +421,8 @@ class ScaledPipeline:
                     ring_pts, world, (slot, 0, 0))
                 ring_mask = jax.lax.dynamic_update_slice(
                     ring_mask, kf_m[None], (slot, 0))
-                out = (Rn, tn, res.error, res.iters, ok, kf_p, kf_m)
+                out = (Rn, tn, res.error, res.iters, ok, res.dropped,
+                       kf_p, kf_m)
                 return ring_pts, ring_mask, Rn, tn, iRn, itn, out
 
             self._fused_reg = _fused_reg
@@ -569,7 +571,7 @@ class ScaledPipeline:
             Rn = jnp.eye(2, dtype=jnp.float32)
             tn = jnp.zeros(2, jnp.float32)
             out = (Rn, tn, jnp.float32(0.0), jnp.int32(0), jnp.bool_(True),
-                   kf_p, kf_m)
+                   jnp.int32(0), kf_p, kf_m)
         else:
             (self._ring_pts, self._ring_mask, Rn, tn,
              self._dev_iR, self._dev_it, out) = self._fused_reg(
@@ -607,13 +609,21 @@ class ScaledPipeline:
         keyframes, graph nodes/edges, stats)."""
         t0 = time.perf_counter()
         for out in self._pending:
-            Rn, tn, err, iters, ok, kf_p, kf_m = (np.asarray(x)
-                                                  for x in out)
+            Rn, tn, err, iters, ok, dropped, kf_p, kf_m = (
+                np.asarray(x) for x in out)
             err = float(err)
             if not bool(ok):
                 self.stats.gate_fallbacks += 1
                 err = self.reject_threshold        # weak odometry edge
             self.stats.icp_iters += int(iters)
+            if int(dropped) > 0:
+                self.stats.reg_dropped_points += int(dropped)
+                if not getattr(self, "_warned_dropped", False):
+                    self._warned_dropped = True
+                    print(f"  [warn] registration dropped {int(dropped)} "
+                          f"points to static capacities (icp_cell_cap/"
+                          f"icp_qcells/grid extent); counted in "
+                          f"stats.reg_dropped_points")
             self.global_pose = _mat(Rn, tn)
             idx = len(self.trajectory)
             self.trajectory.append(self.global_pose.copy())
@@ -649,6 +659,7 @@ class ScaledPipeline:
                         jnp.asarray(inc_init[:2, 2]), **self._icp_kw)
         err = float(res.error)
         self.stats.icp_iters += int(res.iters)
+        self.stats.reg_dropped_points += int(res.dropped)
         T_inc = _mat(np.asarray(res.R), np.asarray(res.t))
         pose_new = (self.global_pose @ _inv(T_inc)).astype(np.float32)
         self.stats.wall_registration += time.perf_counter() - t0
