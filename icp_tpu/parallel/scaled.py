@@ -618,12 +618,17 @@ class ScaledPipeline:
             self.stats.icp_iters += int(iters)
             if int(dropped) > 0:
                 self.stats.reg_dropped_points += int(dropped)
-                if not getattr(self, "_warned_dropped", False):
+                # routine density subsampling (surplus points in an
+                # over-full 1.5 m cell) is benign; warn only on real
+                # saturation — a large fraction of the scan vanishing
+                # from matching is the k=23-style failure mode
+                if (int(dropped) > 0.2 * self.cap
+                        and not getattr(self, "_warned_dropped", False)):
                     self._warned_dropped = True
                     print(f"  [warn] registration dropped {int(dropped)} "
-                          f"points to static capacities (icp_cell_cap/"
-                          f"icp_qcells/grid extent); counted in "
-                          f"stats.reg_dropped_points")
+                          f"points (>20% of capacity) to static caps "
+                          f"(icp_cell_cap/icp_qcells/grid extent); "
+                          f"counted in stats.reg_dropped_points")
             self.global_pose = _mat(Rn, tn)
             idx = len(self.trajectory)
             self.trajectory.append(self.global_pose.copy())
