@@ -37,6 +37,12 @@ def main(argv=None):
     parser.add_argument("--synth-scans", type=int, default=200)
     parser.add_argument("--synth-beams", type=int, default=720)
     parser.add_argument("--synth-noise", type=float, default=0.005)
+    parser.add_argument("--scaled", action="store_true",
+                        help="run the SCALED sharded pipeline "
+                             "(icp_tpu/parallel/scaled.py: scan-to-submap "
+                             "registration, block-sharded map, online BA) "
+                             "instead of the engine; knobs under the "
+                             "config's `scaled:` section")
     args = parser.parse_args(argv)
 
     from icp_tpu.utils.config import SlamConfig
@@ -55,6 +61,9 @@ def main(argv=None):
         np.save(cfg.data_file + ".gt.npy", gt)
         print(f"synthetic sequence written: {cfg.data_file} "
               f"({args.synth_scans} scans)")
+
+    if args.scaled:
+        return _run_scaled(cfg, args)
 
     from icp_tpu.engine import run_slam
 
@@ -100,6 +109,101 @@ def main(argv=None):
 
     if args.checkpoint:
         engine.save_checkpoint(args.checkpoint)
+        print(f"checkpoint saved: {args.checkpoint}")
+
+
+def _run_scaled(cfg, args):
+    """Drive the scaled sharded pipeline from the same config/CSV inputs
+    as the engine (BASELINE config #5 as a user-facing mode, not just a
+    bench). Reference-schema knobs map across (mapping/loop_closure
+    sections); scale knobs live under a ``scaled:`` section — extent
+    (world half-size in metres; the block-sharded grid is allocated up
+    front, unlike the engine's first-scan-bounds grid), submap_keyframes,
+    kf_capacity/kf_voxel, icp_* capacities, ba_every, replay_chunk."""
+    import numpy as np
+    from icp_tpu.engine import filter_and_flatten
+    from icp_tpu.parallel.mesh import make_mesh
+    from icp_tpu.parallel.scaled import ScaledPipeline
+    from icp_tpu.services.lidar import LidarService
+    from icp_tpu.utils.masking import next_pow2
+
+    sc = (cfg.raw.get("scaled") or {}) if isinstance(cfg.raw, dict) else {}
+    scans = []
+    for ts, rel, raw in LidarService(cfg.data_file).scans():
+        pts = filter_and_flatten(raw, cfg.z_min, cfg.z_max)
+        if pts.shape[0] >= 10:
+            scans.append(pts)
+    if not scans:
+        raise SystemExit(f"no usable scans in {cfg.data_file}")
+    max_pts = max(s.shape[0] for s in scans)
+    max_rng = float(max(np.max(np.linalg.norm(s, axis=1)) for s in scans))
+
+    method = sc.get("icp_method", cfg.icp_method
+                    if cfg.icp_method in ("point_to_point",
+                                          "point_to_line")
+                    else "point_to_line")
+    kw = dict(
+        scan_capacity=int(sc.get("scan_capacity", next_pow2(max_pts))),
+        extent=float(sc.get("extent", 100.0)),
+        map_resolution=cfg.map_resolution,
+        map_margin=cfg.map_margin,
+        max_range=float(sc.get("max_range", max_rng * 1.1)),
+        icp_max_corr=float(sc.get("icp_max_corr", 1.0)),
+        icp_max_iterations=int(sc.get("icp_max_iterations", 30)),
+        icp_method=method,
+        icp_grid_shape=tuple(sc.get("icp_grid_shape", (160, 160))),
+        icp_cell_cap=int(sc.get("icp_cell_cap", 64)),
+        icp_qcells=int(sc.get("icp_qcells", 8192)),
+        p_hit=cfg.p_hit, p_miss=cfg.p_miss,
+        log_odds_min=cfg.log_odds_min, log_odds_max=cfg.log_odds_max,
+        map_ray_stride=int(sc.get("map_ray_stride", 1)),
+        kf_capacity=int(sc.get("kf_capacity", 8192)),
+        kf_voxel=float(sc.get("kf_voxel", max(cfg.map_resolution, 0.1))),
+        submap_keyframes=int(sc.get("submap_keyframes", 8)),
+        replay_chunk=int(sc.get("replay_chunk", 8)),
+    )
+    if cfg.lc_enabled:
+        kw.update(
+            lc_every=int(sc.get("lc_every", 8)),
+            lc_min_interval=int(cfg.lc_min_interval),
+            lc_distance=float(cfg.lc_distance),
+            lc_min_travel=float(cfg.lc_min_travel),
+            lc_error_threshold=float(cfg.lc_error_threshold),
+            lc_max_candidates=int(cfg.lc_max_candidates),
+            lc_info_scale=float(cfg.lc_info_scale),
+            lc_cooldown=int(cfg.lc_cooldown),
+            ba_every=int(sc.get("ba_every", 1)),
+        )
+    else:
+        kw.update(lc_min_interval=10 ** 9)     # loop closure disabled
+    pipe = ScaledPipeline(make_mesh(), **kw)
+
+    for k, pts in enumerate(scans):
+        pipe.step(pts)
+        if not args.quiet and (k + 1) % 25 == 0:
+            print(f"scan {k + 1}/{len(scans)}  "
+                  f"lc={pipe.stats.loop_closures} ba={pipe.stats.ba_runs}")
+    pipe.finish()
+    if cfg.lc_enabled:
+        pipe.optimize(n_iterations=cfg.lc_opt_iters)
+
+    s = pipe.stats
+    print(f"scans={s.scans} loop_closures={s.loop_closures} "
+          f"ba_runs={s.ba_runs} gate_fallbacks={s.gate_fallbacks} "
+          f"icp_iters={s.icp_iters}")
+    prob = pipe.map_probability()
+    for path in (cfg.out_csv, cfg.out_npy):
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+    np.savetxt(cfg.out_csv, prob, delimiter=",", fmt="%.4f")
+    np.save(cfg.out_npy, prob)
+    print(f"map saved: {cfg.out_csv}, {cfg.out_npy}")
+    if args.save_traj and pipe.trajectory:
+        np.save(args.save_traj, np.stack(pipe.trajectory))
+        print(f"trajectory saved: {args.save_traj}")
+    if args.checkpoint:
+        pipe.save_checkpoint(args.checkpoint)
         print(f"checkpoint saved: {args.checkpoint}")
 
 

@@ -241,3 +241,45 @@ def test_scaled_checkpoint_resume(scans, tmp_path):
     # closure count carried through the checkpoint and matches the
     # uninterrupted run (b restored a's counter and continued from it)
     assert b.stats.loop_closures == full.stats.loop_closures
+
+
+def test_scaled_cli_mode(tmp_path):
+    """--scaled runs the sharded pipeline from the same YAML/CSV inputs
+    as the engine and exports map/trajectory/checkpoint (config #5 as a
+    user-facing mode, not just a bench)."""
+    import yaml
+    from icp_tpu.cli import main as cli_main
+    from icp_tpu.utils.synth import generate_sequence
+
+    lidar = str(tmp_path / "lidar.csv")
+    generate_sequence(lidar, str(tmp_path / "imu.csv"), n_scans=30,
+                      n_beams=360, noise=0.005, trajectory="loop", seed=7)
+    cfg = {
+        "data_file": lidar,
+        "imu": {"enabled": False},
+        "icp": {"method": "point_to_line"},
+        "submap": {"enabled": False},
+        "loop_closure": {"enabled": True, "min_interval": 16,
+                         "distance_threshold": 3.0,
+                         "min_cumulative_travel": 8.0,
+                         "error_threshold": 0.08},
+        "filter": {"z_min": 0.0, "z_max": 3.0},
+        "mapping": {"resolution": 0.25, "margin": 4.0},
+        "display": {"live_map": False},
+        "output": {"csv": str(tmp_path / "map.csv"),
+                   "npy": str(tmp_path / "map.npy")},
+        "scaled": {"extent": 14.0, "icp_grid_shape": [32, 32],
+                   "icp_max_corr": 1.5, "icp_qcells": 1024,
+                   "kf_capacity": 1024, "kf_voxel": 0.2, "lc_every": 2},
+    }
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    traj_path = str(tmp_path / "traj.npy")
+    cli_main(["--config", cfg_path, "--scaled", "--quiet",
+              "--save-traj", traj_path])
+    prob = np.load(str(tmp_path / "map.npy"))
+    assert prob.shape[0] >= 64 and np.isfinite(prob).all()
+    assert (prob > 0.6).sum() > 50
+    traj = np.load(traj_path)
+    assert traj.shape[1:] == (3, 3) and len(traj) == 30
