@@ -128,15 +128,31 @@ def _run_scaled(cfg, args):
     from icp_tpu.utils.masking import next_pow2
 
     sc = (cfg.raw.get("scaled") or {}) if isinstance(cfg.raw, dict) else {}
-    scans = []
-    for ts, rel, raw in LidarService(cfg.data_file).scans():
-        pts = filter_and_flatten(raw, cfg.z_min, cfg.z_max)
-        if pts.shape[0] >= 10:
-            scans.append(pts)
-    if not scans:
-        raise SystemExit(f"no usable scans in {cfg.data_file}")
-    max_pts = max(s.shape[0] for s in scans)
-    max_rng = float(max(np.max(np.linalg.norm(s, axis=1)) for s in scans))
+
+    def stream():
+        """One pass over the CSV — the sequence is never materialized
+        (config #5 scale: 50k scans x 100k points would be ~40 GB of
+        host RAM). Degenerate scans still step: the pipeline's agreement
+        gate dead-reckons through them, so trajectory row k stays
+        aligned with input scan k (the index-alignment contract
+        tests/test_metrics.py pins for the engine)."""
+        for ts, rel, raw in LidarService(cfg.data_file).scans():
+            pts = filter_and_flatten(raw, cfg.z_min, cfg.z_max)
+            if pts.shape[0] == 0:
+                pts = np.zeros((1, 2), np.float32)
+            yield pts
+    # capacity prepass only when the scaled: section doesn't pin them
+    if "scan_capacity" in sc and "max_range" in sc:
+        max_pts, max_rng = 8, float(sc["max_range"])
+    else:
+        max_pts, max_rng, count = 8, 1.0, 0
+        for pts in stream():
+            count += 1
+            max_pts = max(max_pts, pts.shape[0])
+            max_rng = max(max_rng,
+                          float(np.max(np.linalg.norm(pts, axis=1))))
+        if count == 0:
+            raise SystemExit(f"no scans in {cfg.data_file}")
 
     method = sc.get("icp_method", cfg.icp_method
                     if cfg.icp_method in ("point_to_point",
@@ -178,10 +194,10 @@ def _run_scaled(cfg, args):
         kw.update(lc_min_interval=10 ** 9)     # loop closure disabled
     pipe = ScaledPipeline(make_mesh(), **kw)
 
-    for k, pts in enumerate(scans):
+    for k, pts in enumerate(stream()):
         pipe.step(pts)
         if not args.quiet and (k + 1) % 25 == 0:
-            print(f"scan {k + 1}/{len(scans)}  "
+            print(f"scan {k + 1}  "
                   f"lc={pipe.stats.loop_closures} ba={pipe.stats.ba_runs}")
     pipe.finish()
     if cfg.lc_enabled:

@@ -223,7 +223,7 @@ class SlamEngine:
         the target is the merged rolling submap, whose UNION of coarse
         cells grows with motion — measured on the bench world it peaks at
         ~3x a single scan's count, so 4x n0 gives real headroom. Both are
-        rounded to a multiple of 64 (TPU lane-friendly) and clamped by
+        rounded to a multiple of 128 (the TPU lane width) and clamped by
         the exact upper bounds (a coarse cell needs at least one source
         point / one submap voxel). Ints pass through; None keeps the
         legacy capacity-derived defaults. Sized once, at the first scan

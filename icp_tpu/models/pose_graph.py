@@ -338,19 +338,16 @@ class PoseGraph2D:
         step over the same mesh (O(edges) memory, psum per Hx)."""
         # deferred import: parallel.dist_pose_graph imports this module
         from icp_tpu.parallel.dist_pose_graph import (
-            optimize_schur, partition_graph,
+            optimize_schur, partition_graph, schur_within_limits,
         )
         nodes, node_mask, ei, ej, z, om, edge_mask = self._packed()
         n_dev = int(self._mesh.devices.size)
         part = partition_graph(nodes.shape[0], ei, ej, z, om, edge_mask,
                                n_dev, int(fix_node))
-        s = int(len(part.sep_ids))
-        i_cap = int(part.int_ids.shape[1])
-        dense_bytes = (3 * (i_cap + s)) ** 2 * 4
-        # i_cap/s bounds also protect the TPU LU custom call, whose scoped
-        # VMEM dies past a ~6k x 6k factorization (see _cg_node_threshold)
-        if (s > self._max_separators or i_cap > self._cg_node_threshold
-                or dense_bytes > self._schur_dense_budget):
+        if not schur_within_limits(
+                part, max_separators=self._max_separators,
+                cg_node_threshold=self._cg_node_threshold,
+                dense_budget=self._schur_dense_budget):
             return self._optimize_cg(n_iterations, fix_node,
                                      convergence_eps, mesh=self._mesh)
         self.last_strategy = "schur"

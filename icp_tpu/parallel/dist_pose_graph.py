@@ -194,11 +194,15 @@ class SchurPartition(NamedTuple):
     re-bucketed so every edge lives on the device owning its interior
     endpoint (separator-separator edges go to the first endpoint's chunk),
     which makes each device's interior Hessian block complete locally.
-    All (D, ...) arrays are padded to uniform per-device capacities.
+    All (D, ...) arrays are padded to uniform per-device capacities, and
+    every capacity (interiors, edges, separators) is rounded up to a
+    power of two so repeated optimize calls on a growing graph reuse a
+    handful of compiled step programs instead of re-tracing each time.
     """
     int_ids: np.ndarray    # (D, i_cap) int32 global ids, n = padding
     int_valid: np.ndarray  # (D, i_cap) bool
-    sep_ids: np.ndarray    # (s,) int32 global separator ids
+    sep_ids: np.ndarray    # (s_cap,) int32 global separator ids (padded)
+    sep_valid: np.ndarray  # (s_cap,) bool
     lei: np.ndarray        # (D, e_cap) int32 global i endpoint
     lej: np.ndarray        # (D, e_cap) int32 global j endpoint
     lei_loc: np.ndarray    # (D, e_cap) int32 unified local index of i
@@ -229,13 +233,16 @@ def partition_graph(n: int, ei, ej, z, omega, edge_mask, n_dev: int,
     sep_pos[sep] = np.arange(len(sep))
     is_sep = sep_pos >= 0
 
+    def _pow2(x, lo=1):
+        return max(lo, 1 << max(0, int(x) - 1).bit_length())
+
     int_lists = []
     int_pos = np.full(n, -1, np.int64)           # position in OWN device list
     for d in range(n_dev):
         ids = np.where((dev_of == d) & ~is_sep)[0]
         int_pos[ids] = np.arange(len(ids))
         int_lists.append(ids)
-    i_cap = max(1, max(len(x) for x in int_lists))
+    i_cap = _pow2(max(len(x) for x in int_lists))
     int_ids = np.full((n_dev, i_cap), n, np.int32)
     int_valid = np.zeros((n_dev, i_cap), bool)
     for d, ids in enumerate(int_lists):
@@ -250,7 +257,7 @@ def partition_graph(n: int, ei, ej, z, omega, edge_mask, n_dev: int,
         return np.where(is_sep[node], i_cap + sep_pos[node], int_pos[node])
 
     buckets = [np.where(em & (e_dev == d))[0] for d in range(n_dev)]
-    e_cap = max(1, max(len(b) for b in buckets))
+    e_cap = _pow2(max(len(b) for b in buckets))
     L = lambda shape, fill, dt: np.full(shape, fill, dt)
     lei = L((n_dev, e_cap), 0, np.int32)
     lej = L((n_dev, e_cap), 0, np.int32)
@@ -269,7 +276,13 @@ def partition_graph(n: int, ei, ej, z, omega, edge_mask, n_dev: int,
         lom[d, :k] = om[b]
         lem[d, :k] = True
 
-    return SchurPartition(int_ids, int_valid, sep.astype(np.int32),
+    s_raw = len(sep)
+    s_cap = _pow2(s_raw)
+    sep_ids = np.zeros(s_cap, np.int32)
+    sep_ids[:s_raw] = sep
+    sep_valid = np.zeros(s_cap, bool)
+    sep_valid[:s_raw] = True
+    return SchurPartition(int_ids, int_valid, sep_ids, sep_valid,
                           lei, lej, lei_loc, lej_loc, lz, lom, lem,
                           int(sep_pos[fix_node]))
 
@@ -296,12 +309,12 @@ def gn_step_schur_sharded(mesh: Mesh, nodes, node_mask,
     @partial(
         shard_map, mesh=mesh,
         in_specs=(P(), P(),
-                  P(axis), P(axis), P(),
+                  P(axis), P(axis), P(), P(),
                   P(axis), P(axis), P(axis), P(axis),
                   P(axis), P(axis), P(axis)),
         out_specs=P(),
     )
-    def _step(nd, nm, int_ids, int_valid, sep_ids,
+    def _step(nd, nm, int_ids, int_valid, sep_ids, sep_valid,
               lei, lej, lei_loc, lej_loc, lz, lom, lem):
         int_ids, int_valid = int_ids[0], int_valid[0]
         lei, lej = lei[0], lej[0]
@@ -333,7 +346,11 @@ def gn_step_schur_sharded(mesh: Mesh, nodes, node_mask,
 
         # anchor clamp on the reduced system (reference :109-114 semantics)
         a = (jnp.arange(3 * s) // 3) == fix_sep
-        sep_bad = jnp.repeat(jnp.logical_not(nm[sep_ids]), 3)
+        # padded separator slots route through the sentinel node row n
+        # (masked, identity diagonal, zero rhs) so their dx is discarded
+        nm_pad2 = jnp.concatenate([nm, jnp.zeros(1, bool)])
+        uid = jnp.where(sep_valid, sep_ids, n)
+        sep_bad = jnp.repeat(jnp.logical_not(nm_pad2[uid] & sep_valid), 3)
         S = jnp.where(a[:, None] | a[None, :], 0.0, S)
         S = S + jnp.diag(jnp.where(a, ANCHOR_WEIGHT, 0.0)
                          + jnp.where(sep_bad, 1.0, 0.0))
@@ -346,18 +363,54 @@ def gn_step_schur_sharded(mesh: Mesh, nodes, node_mask,
         dx = dx.at[int_ids].add(
             dx_I.reshape(i_cap, 3) * int_valid[:, None])
         dx = lax.psum(dx, axis)
-        dx = dx.at[sep_ids].set(dx_S.reshape(s, 3))
+        dx = dx.at[uid].set(dx_S.reshape(s, 3))
         dx = dx[:n].reshape(-1)
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         return _apply_update(nd, nm, dx)
 
     return _step(nodes, node_mask,
                  jnp.asarray(part.int_ids), jnp.asarray(part.int_valid),
-                 jnp.asarray(part.sep_ids),
+                 jnp.asarray(part.sep_ids), jnp.asarray(part.sep_valid),
                  jnp.asarray(part.lei), jnp.asarray(part.lej),
                  jnp.asarray(part.lei_loc), jnp.asarray(part.lej_loc),
                  jnp.asarray(part.z), jnp.asarray(part.omega),
                  jnp.asarray(part.edge_mask))
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis"))
+def _schur_step_cached(mesh, nodes, node_mask, part, *, axis="d"):
+    """Module-level jit of the Schur GN step: the partition arrays are
+    ARGUMENTS (not closure constants), and partition_graph buckets its
+    capacities to powers of two — so repeated optimize calls on a
+    growing graph reuse compiled programs instead of re-tracing every
+    online-BA invocation."""
+    return gn_step_schur_sharded(mesh, nodes, node_mask, part, axis=axis)
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis", "cg_iters"))
+def _cg_step_cached(mesh, nodes, node_mask, ei, ej, z, omega, edge_mask,
+                    fix_node, *, axis="d", cg_iters=100):
+    """Module-level jit of the PCG GN step (see _schur_step_cached)."""
+    return gn_step_cg_sharded(mesh, nodes, node_mask, ei, ej, z, omega,
+                              edge_mask, fix_node, axis=axis,
+                              cg_iters=cg_iters)
+
+
+def schur_within_limits(part: SchurPartition, *, max_separators: int,
+                        cg_node_threshold: int, dense_budget: int) -> bool:
+    """Shared Schur-vs-PCG selection predicate (used by
+    PoseGraph2D._optimize_distributed and ScaledPipeline.time_gn_step so
+    the benchmarked strategy is the executed one): dense closure clusters
+    blow up the separator set, and the per-device dense block
+    (3(i_cap+s))^2 f32 is bounded by both the memory budget and the TPU
+    LU custom call's scoped-VMEM ceiling (see pose_graph.py)."""
+    sep_count = int(np.sum(part.sep_valid))
+    i_cap = int(part.int_ids.shape[1])
+    s_cap = int(part.sep_ids.shape[0])
+    dense_bytes = (3 * (i_cap + s_cap)) ** 2 * 4
+    return not (sep_count > max_separators
+                or i_cap > cg_node_threshold
+                or dense_bytes > dense_budget)
 
 
 def optimize_cg(mesh: Mesh, nodes, node_mask, ei, ej, z, omega, edge_mask,
@@ -388,9 +441,9 @@ def optimize_cg(mesh: Mesh, nodes, node_mask, ei, ej, z, omega, edge_mask,
         edge_mask = np.concatenate([np.asarray(edge_mask),
                                     zp(pad, bool)])
     args = tuple(jnp.asarray(a) for a in (ei, ej, z, omega, edge_mask))
-    step = jax.jit(lambda nd, nm: gn_step_cg_sharded(
+    step = lambda nd, nm: _cg_step_cached(
         mesh, nd, nm, *args, jnp.int32(fix_node), axis=axis,
-        cg_iters=cg_iters))
+        cg_iters=cg_iters)
     it = 0
     for it in range(1, n_iterations + 1):
         new = step(nodes, node_mask)
@@ -413,8 +466,8 @@ def optimize_schur(mesh: Mesh, nodes, node_mask, part: SchurPartition, *,
     /root/reference/utilities/pose_graph.py:129-132), checked on host
     between device steps. Returns (nodes, iters_run).
     """
-    step = jax.jit(
-        lambda nd, nm: gn_step_schur_sharded(mesh, nd, nm, part, axis=axis))
+    step = lambda nd, nm: _schur_step_cached(mesh, nd, nm, part,
+                                             axis=axis)
     it = 0
     for it in range(1, n_iterations + 1):
         new = step(nodes, node_mask)

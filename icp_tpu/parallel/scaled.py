@@ -268,12 +268,18 @@ class ScaledPipeline:
         self.max_steps = int(np.ceil(
             1.2 * self.max_range / self.resolution / 64.0)) * 64
         # static per-device capacity for the deduplicated free-cell
-        # scatter: unique free cells per scan are bounded by the sensor
-        # disc (pi r^2 / res^2), split ~evenly across the D row blocks;
-        # 1.3x headroom, overflow falls back to the full scatter in-graph
-        disc = np.pi * (self.max_range / self.resolution) ** 2
+        # scatter: unique free cells in ONE row block are bounded by the
+        # sensor disc's intersection with that block — min(block rows,
+        # disc diameter) x disc diameter, and never more than the whole
+        # disc (a block fully inside the disc gets most of the cells, so
+        # dividing the disc by D would silently lose the compact path on
+        # exactly the hot devices); 1.3x headroom, overflow falls back to
+        # the full scatter in-graph
+        r_cells = self.max_range / self.resolution
+        disc = np.pi * r_cells ** 2
+        per_block = min(self.ny // D, 2.0 * r_cells) * 2.0 * r_cells
         self.free_unique_cap = min(
-            int(np.ceil(disc * 1.3 / D / 8192.0)) * 8192,
+            int(np.ceil(min(disc, per_block) * 1.3 / 8192.0)) * 8192,
             (self.ny // D) * self.nx)
         self.log_odds = jax.device_put(
             jnp.zeros((self.ny, self.nx), jnp.float32), block_sharding(mesh))
@@ -506,15 +512,8 @@ class ScaledPipeline:
                 self.kf_pos[-1] - self.kf_pos[-2]))
             self._travel.append(self._travel[-1] + step_d)
         cur_idx = self._add_node_edge(err)
-
-        if self._register is not None:
-            kf_p, kf_m = pad_points(kf, self.kf_cap)
-            self._ring_pts, self._ring_mask = self._ring_push(
-                self._ring_pts, self._ring_mask,
-                jnp.asarray(kf_p), jnp.asarray(kf_m),
-                jnp.asarray(self.global_pose[:2, :2]),
-                jnp.asarray(self.global_pose[:2, 2]),
-                jnp.int32(idx % self.submap_kf))
+        # (submap mode maintains its ring inside the fused step; this
+        # helper only serves the scan-to-scan path, which has no ring)
 
         t0 = time.perf_counter()
         self.log_odds = self._paint(
@@ -585,9 +584,9 @@ class ScaledPipeline:
             x.copy_to_host_async()
         self._pending.append(out)
         self._n_seen += 1
+        self.stats.wall_registration += time.perf_counter() - t0
         if len(self._pending) >= 64:       # bound in-flight buffers
             self._drain()
-        self.stats.wall_registration += time.perf_counter() - t0
 
         cur_idx = idx
         if (cur_idx >= self.lc_min_interval
@@ -717,7 +716,7 @@ class ScaledPipeline:
         R0 = np.zeros((K, 2, 2), np.float32)
         t0_ = np.zeros((K, 2), np.float32)
         for k in range(K):
-            # unused lanes repeat the first candidate (they converge and
+            # unused lanes repeat the last candidate (they converge and
             # are ignored — all-False lanes would spin to max_iters)
             c = cands[min(k, len(cands) - 1)]
             p, m = pad_points(self.kf_points[c], self.kf_cap)
@@ -845,7 +844,8 @@ class ScaledPipeline:
         strategy lands in ``gn_step_strategy``). Also records the
         host-side partition cost in stats.partition_wall."""
         from icp_tpu.parallel.dist_pose_graph import (
-            gn_step_cg_sharded, gn_step_schur_sharded, partition_graph,
+            _cg_step_cached, _schur_step_cached, partition_graph,
+            schur_within_limits,
         )
         self.finish()
         pg = self.pose_graph
@@ -854,12 +854,14 @@ class ScaledPipeline:
         t0 = time.perf_counter()
         part = partition_graph(nodes.shape[0], ei, ej, z, om, em, n_dev, 0)
         self.stats.partition_wall = time.perf_counter() - t0
-        s = int(len(part.sep_ids))
-        i_cap = int(part.int_ids.shape[1])
         nd = jnp.asarray(nodes)
         nm = jnp.asarray(node_mask)
-        if (s > pg._max_separators or i_cap > pg._cg_node_threshold
-                or (3 * (i_cap + s)) ** 2 * 4 > pg._schur_dense_budget):
+        # the SAME selection predicate optimize() uses, so the benchmarked
+        # strategy is the executed one
+        if not schur_within_limits(
+                part, max_separators=pg._max_separators,
+                cg_node_threshold=pg._cg_node_threshold,
+                dense_budget=pg._schur_dense_budget):
             self.gn_step_strategy = "cg"
             e = ei.shape[0]
             pad = (-e) % n_dev
@@ -867,12 +869,11 @@ class ScaledPipeline:
                 (pad,) + np.asarray(a).shape[1:], np.asarray(a).dtype)])
                 if pad else np.asarray(a) for a in (ei, ej, z, om, em)]
             args = [jnp.asarray(a) for a in args]
-            fn = jax.jit(lambda a, b: gn_step_cg_sharded(
-                self.mesh, a, b, *args, jnp.int32(0)))
+            fn = lambda a, b: _cg_step_cached(self.mesh, a, b, *args,
+                                              jnp.int32(0))
         else:
             self.gn_step_strategy = "schur"
-            fn = jax.jit(
-                lambda a, b: gn_step_schur_sharded(self.mesh, a, b, part))
+            fn = lambda a, b: _schur_step_cached(self.mesh, a, b, part)
         out = fn(nd, nm)
         np.asarray(out)                      # sync (compile + first run)
         t0 = time.perf_counter()
@@ -900,6 +901,14 @@ class ScaledPipeline:
         else:
             lo = np.asarray(self.log_odds)
         pg = self.pose_graph
+        # fused mode carries the constant-velocity increment ON DEVICE
+        # (self._prev_inc is only maintained by legacy mode / _run_ba);
+        # derive the true last increment from the drained trajectory
+        if n >= 2:
+            prev_inc = _ortho(_inv(self.trajectory[-2])
+                              @ self.trajectory[-1])
+        else:
+            prev_inc = self._prev_inc
         np.savez_compressed(
             path,
             poses=np.stack(self.trajectory)
@@ -907,7 +916,7 @@ class ScaledPipeline:
             kf_lens=lens,
             kf_flat=flat,
             travel=np.asarray(self._travel, np.float64),
-            prev_inc=self._prev_inc,
+            prev_inc=prev_inc,
             log_odds=lo,
             map_dirty=np.array([self._map_dirty]),
             pg_ei=np.array(pg._edges_i, np.int32),
@@ -921,7 +930,11 @@ class ScaledPipeline:
                             self._accepts_since_ba,
                             self._last_lc_accept
                             if self._last_lc_accept is not None else -1,
-                            self._n_seen], np.int64),
+                            self._n_seen,
+                            self.stats.icp_iters, self.stats.lc_checked,
+                            self.stats.lc_candidates,
+                            self.stats.reg_dropped_points,
+                            self.stats.ba_iterations], np.int64),
         )
 
     def load_checkpoint(self, path: str):
@@ -964,6 +977,12 @@ class ScaledPipeline:
         self._accepts_since_ba = int(st[4])
         self._last_lc_accept = None if int(st[5]) < 0 else int(st[5])
         self._n_seen = int(st[6])
+        if len(st) > 7:                    # counters added later
+            self.stats.icp_iters = int(st[7])
+            self.stats.lc_checked = int(st[8])
+            self.stats.lc_candidates = int(st[9])
+            self.stats.reg_dropped_points = int(st[10])
+            self.stats.ba_iterations = int(st[11])
         self._pending = []
         self._rebuild_ring()
         if self._register is not None and self.trajectory:
