@@ -67,8 +67,18 @@ def main():
         "mapping": {"resolution": 0.05, "margin": 50.0},
         "service": {"loop": False},
         "display": {"live_map": False},
+        # max_ray_cells: the longest ray on this dataset is 438 cells at
+        # 0.05 m resolution (21.9 m max range); 448 covers it with margin
+        # and shrinks the batched Bresenham/dedup planes ~30% vs 640.
+        # _check_ray_bound warns per scan if data ever exceeds the bound.
+        # nn_impl "pallas": the streaming min/argmin NN kernel wins ~3-7%
+        # per fused step at these shapes (BENCHMARKS.md roofline); its
+        # extra compile time lands in the untimed warm-up.
         "tpu": {"scan_capacity": 768, "submap_capacity": 4096,
-                "max_ray_cells": 640, "batch_scans": 16},
+                "max_ray_cells": (lambda v: v if v == "auto" else int(v))(
+                    os.environ.get("BENCH_RAY", 448)),
+                "batch_scans": int(os.environ.get("BENCH_BATCH", 16)),
+                "nn_impl": os.environ.get("BENCH_NN", "pallas")},
     })
 
     # load all scans up-front (parse time excluded from both sides)
@@ -119,6 +129,11 @@ def main():
     log(f"tpu engine: best {ours:.2f} / mean {ours_mean:.2f} scans/s "
         f"over 3 passes of {n_timed} scans "
         f"(submap_corr={engine.stats.submap_corrections})")
+    if os.environ.get("BENCH_ENGINE_ONLY"):     # fast A/B iteration mode
+        print(json.dumps({"metric": "engine_only_scans_per_sec",
+                          "value": round(ours, 3),
+                          "mean": round(ours_mean, 3)}), flush=True)
+        return
 
     # ── NumPy/SciPy baseline on a subset ─────────────────────────────────
     from benchmarks.baseline_np import BaselineSlam

@@ -114,6 +114,12 @@ def main():
         max_ray_cells=640,
         free_cells_cap=engine.mapper.free_cells_cap,
     )
+    # PROFILE_BATCHED=1: profile the shipping hot path (batched_map dedup
+    # raytrace once per chunk, bench.py's 4096 submap capacity) instead of
+    # the per-scan-paint step variant
+    if os.environ.get("PROFILE_BATCHED"):
+        mk_kwargs["batched_map"] = True
+        mk_kwargs["submap_capacity"] = 4096
     print(f"free_cells_cap={engine.mapper.free_cells_cap}", flush=True)
 
     k0 = 1 + 4 * B
@@ -149,7 +155,9 @@ def main():
 
     import json
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    results_path = "data/profile3.json"
+    results_path = ("data/profile3_batched.json"
+                    if os.environ.get("PROFILE_BATCHED")
+                    else "data/profile3.json")
     results = {}
     if os.path.exists(results_path):
         results = json.load(open(results_path))
@@ -164,10 +172,12 @@ def main():
 
     # no raytrace
     def rt_stub(g, o, h, m, lh, lm, lo, hi, *, max_steps,
-                free_cap=None):
+                free_cap=None, unique_cap=None, scan_cap=None):
         return g + lh * 0.0
     if want("nort"):
-        t = time_variant("  - raytrace stubbed", {"raytrace_update": rt_stub})
+        t = time_variant("  - raytrace stubbed",
+                         {"raytrace_update": rt_stub,
+                          "raytrace_update_batched": rt_stub})
         print(f"    => raytrace in-context: {(t_full-t)/B*1e3:.2f} ms/scan")
         results["nort"] = t
         json.dump(results, open(results_path, "w"))
