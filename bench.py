@@ -71,15 +71,39 @@ def main():
         # 0.05 m resolution (21.9 m max range); 448 covers it with margin
         # and shrinks the batched Bresenham/dedup planes ~30% vs 640.
         # _check_ray_bound warns per scan if data ever exceeds the bound.
-        # nn_impl "pallas": the streaming min/argmin NN kernel wins ~3-7%
-        # per fused step at these shapes (BENCHMARKS.md roofline); its
-        # extra compile time lands in the untimed warm-up.
+        # nn_impl "auto" (the shipped default): Pallas streaming NN on TPU
+        # (wins ~3-7% per fused step at these shapes, BENCHMARKS.md
+        # roofline; extra compile time lands in the untimed warm-up), XLA
+        # distance-matrix elsewhere — so this bench and an out-of-box
+        # cli.py run use the same correspondence kernel.
         "tpu": {"scan_capacity": 768, "submap_capacity": 4096,
                 "max_ray_cells": (lambda v: v if v == "auto" else int(v))(
                     os.environ.get("BENCH_RAY", 448)),
                 "batch_scans": int(os.environ.get("BENCH_BATCH", 16)),
-                "nn_impl": os.environ.get("BENCH_NN", "pallas")},
+                "nn_impl": os.environ.get("BENCH_NN", "auto")},
     })
+
+    # Real-chip Pallas/XLA NN equality guard: the "auto" default routes the
+    # fused hot path through the Pallas streaming kernel on TPU, whose
+    # Mosaic argmin/tie-break lowering the CPU interpret-mode tests cannot
+    # exercise — assert the compiled kernel agrees with the XLA
+    # formulation (indices bit-exact) before trusting the numbers.
+    import jax
+    import jax.numpy as jnp
+    if jax.default_backend() == "tpu":
+        from icp_tpu.ops.nn import nn_query
+        from icp_tpu.ops.pallas.nn_kernel import nn_pallas
+        rng_g = np.random.default_rng(3)
+        base = rng_g.uniform(-5, 5, (512, 2)).astype(np.float32)
+        tgt_g = jnp.asarray(np.concatenate([base, base[:256]]))  # dup ties
+        src_g = jnp.asarray(rng_g.uniform(-5, 5, (768, 2)), jnp.float32)
+        msk_g = jnp.asarray(np.arange(768) < 700)
+        d_ref, i_ref = jax.device_get(nn_query(src_g, tgt_g, msk_g))
+        d_pal, i_pal = jax.device_get(
+            nn_pallas(src_g, tgt_g, msk_g, tn=256, tm=256))
+        assert np.array_equal(i_pal, i_ref), "pallas NN indices != xla"
+        assert np.allclose(d_pal, d_ref ** 2, rtol=1e-4, atol=1e-5)
+        log("pallas/xla NN on-chip equality: ok")
 
     # load all scans up-front (parse time excluded from both sides)
     scans = []

@@ -75,7 +75,13 @@ def main():
         # verification rejects false candidates
         lc_distance=15.0, lc_min_travel=60.0, lc_error_threshold=0.05,
         lc_max_candidates=4, ba_every=ba_every,
-        lc_cooldown=int(os.environ.get("BENCH_SCALED_LC_COOLDOWN", 0)),
+        # robust closures (round-4): the 50k run's 281-correlated-accept
+        # regime exploded the scale/err info weight (BENCHMARKS.md "Loop-
+        # closure accuracy") — cap the weight, DCS-reweight LC edges in
+        # the GN, and close once per revisit window instead of per check
+        lc_info_cap=float(os.environ.get("BENCH_SCALED_LC_CAP", 1e3)),
+        lc_robust=bool(int(os.environ.get("BENCH_SCALED_LC_ROBUST", 1))),
+        lc_cooldown=int(os.environ.get("BENCH_SCALED_LC_COOLDOWN", 25)),
         ba_iterations=int(os.environ.get("BENCH_SCALED_BA_ITERS", 10)),
         replay_chunk=int(os.environ.get("BENCH_SCALED_REPLAY_CHUNK", 8)),
         dist_node_threshold=2,
@@ -142,6 +148,7 @@ def main():
         "gate_fallbacks": st.gate_fallbacks,
         "reg_dropped_points": st.reg_dropped_points,
         "wall_replay_s": round(st.wall_replay, 2),
+        "replayed_keyframes": st.replayed_keyframes,
         "map_cells": pipe.ny * pipe.nx,
         "backend": jax.default_backend(),
     }))

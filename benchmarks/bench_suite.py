@@ -183,8 +183,11 @@ def _run_pipeline(submap: bool, lc: bool, method: str = "rotation_search",
                          "cooldown": 30},
         "filter": {"z_min": 0.5, "z_max": 2.0},
         "mapping": {"resolution": 0.05, "margin": 50.0},
+        # same tuned tpu section as bench.py (448 covers this dataset's
+        # longest ray, 438 cells @ 0.05 m; nn_impl defaults to "auto" =
+        # Pallas on TPU) so rows are comparable across the suite
         "tpu": {"scan_capacity": 768, "submap_capacity": 4096,
-                "max_ray_cells": 640, "batch_scans": 16},
+                "max_ray_cells": 448, "batch_scans": 16},
     })
     scans, rels = [], []
     for ts, rel, raw in LidarService(lidar).scans():
@@ -244,7 +247,9 @@ def bench_lc():
             "unit": "scans/s", "loop_closures": eng.stats.loop_closures,
             "ate_m": round(ate_lc, 4),
             "ate_no_lc_m": round(ate_off, 4),
-            "ate_improvement_m": round(ate_off - ate_lc, 4)}
+            "ate_improvement_m": round(ate_off - ate_lc, 4),
+            "wall_lc_s": round(eng.stats.wall_loop_closure, 2),
+            "wall_registration_s": round(eng.stats.wall_registration, 2)}
 
 
 def _large_world(n_points=100_000, seed=11):

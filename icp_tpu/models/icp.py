@@ -90,7 +90,7 @@ def icp_core(
     error_threshold=1e-7,
     max_corr_dist=0.0,
     use_gate: bool = False,
-    nn_impl: str = "xla",
+    nn_impl: str = "auto",
 ):
     """ICP on already-downsampled masked clouds. See module docstring.
 
@@ -212,7 +212,7 @@ def icp(
     error_threshold=1e-7,
     max_corr_dist=0.0,
     use_gate: bool = False,
-    nn_impl: str = "xla",
+    nn_impl: str = "auto",
 ):
     """Full ICP entry: voxel-downsample both clouds, then run icp_core.
 

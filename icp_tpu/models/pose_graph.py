@@ -79,6 +79,24 @@ def edge_terms(nodes, ei, ej, z, omega, edge_mask):
     return e, A, B
 
 
+def robust_omega(e, omega, robust_mask, phi):
+    """Dynamic Covariance Scaling (DCS, Agarwal et al. 2013) reweighting
+    for flagged edges: s = min(1, 2*phi / (phi + chi2)), omega *= s^2.
+
+    A well-explained closure (chi2 <= phi) keeps full weight; a closure
+    whose residual stays large under the current estimate — or a pile of
+    correlated re-closures dragging against the rest of the graph — is
+    smoothly down-weighted instead of dominating the solve. Unflagged
+    edges (odometry) are untouched, and with no flagged edges this is the
+    reference's plain GN (/root/reference/utilities/pose_graph.py:92-127).
+    Recomputed from the CURRENT estimate every GN iteration (IRLS).
+    """
+    chi2 = jnp.einsum("ei,eij,ej->e", e, omega, e)
+    s = jnp.minimum(1.0, 2.0 * phi / (phi + chi2))
+    s = jnp.where(robust_mask, s, 1.0)
+    return omega * (s * s)[:, None, None]
+
+
 def _block_products(e, A, B, omega, edge_mask):
     """Per-edge H blocks and b segments, masked."""
     w = edge_mask.astype(e.dtype)[:, None, None]
@@ -115,16 +133,19 @@ def _scatter_dense(n, ei, ej, Hii, Hij, Hji, Hjj, bi, bj):
 
 @partial(jax.jit, static_argnames=("n_iterations",))
 def optimize_dense(nodes, node_mask, ei, ej, z, omega, edge_mask,
-                   fix_node, *, n_iterations: int = 20,
-                   convergence_eps=1e-6):
+                   fix_node, robust_mask=None, robust_phi=1.0, *,
+                   n_iterations: int = 20, convergence_eps=1e-6):
     """Gauss-Newton with dense solve; whole loop is one XLA program.
 
     Reference: PoseGraph2D.optimize
-    (/root/reference/utilities/pose_graph.py:83-134).
-    Returns (nodes, iters_run).
+    (/root/reference/utilities/pose_graph.py:83-134). ``robust_mask``
+    flags edges for DCS reweighting (robust_omega); None/all-False keeps
+    exact reference semantics. Returns (nodes, iters_run).
     """
     n = nodes.shape[0]
     pad_diag = jnp.logical_not(node_mask)            # free padded nodes
+    if robust_mask is None:
+        robust_mask = jnp.zeros(ei.shape[0], bool)
 
     def cond(carry):
         it, _, stop = carry
@@ -133,7 +154,8 @@ def optimize_dense(nodes, node_mask, ei, ej, z, omega, edge_mask,
     def body(carry):
         it, cur, _ = carry
         e, A, B = edge_terms(cur, ei, ej, z, omega, edge_mask)
-        blocks = _block_products(e, A, B, omega, edge_mask)
+        om_eff = robust_omega(e, omega, robust_mask, robust_phi)
+        blocks = _block_products(e, A, B, om_eff, edge_mask)
         H, b = _scatter_dense(n, ei, ej, *blocks)
 
         # anchor: zero row/col, big diagonal (pose_graph.py:109-114)
@@ -187,6 +209,8 @@ class PoseGraph2D:
         self._edges_j: list[int] = []
         self._edges_z: list[np.ndarray] = []
         self._edges_om: list[np.ndarray] = []
+        self._edges_rb: list[bool] = []     # robust (DCS) flag per edge
+        self.robust_phi = 1.0               # DCS phi (chi2 scale)
         self._min_nc = 2
         self._min_ec = 2
         self._mesh = None            # set_mesh: distributed Schur solve
@@ -228,7 +252,11 @@ class PoseGraph2D:
         self._nodes.append(np.asarray(pose_vec, np.float32).copy())
         return len(self._nodes) - 1
 
-    def add_edge(self, i, j, measurement, information=None):
+    def add_edge(self, i, j, measurement, information=None,
+                 robust: bool = False):
+        """``robust=True`` flags the edge for DCS reweighting during
+        optimization (loop-closure edges; see robust_omega). Default False
+        = exact reference behavior."""
         self._edges_i.append(int(i))
         self._edges_j.append(int(j))
         self._edges_z.append(np.asarray(measurement, np.float32).copy())
@@ -236,6 +264,7 @@ class PoseGraph2D:
             information, np.float32
         ).copy()
         self._edges_om.append(om)
+        self._edges_rb.append(bool(robust))
 
     @property
     def nodes(self):
@@ -262,13 +291,15 @@ class PoseGraph2D:
         ej = np.zeros(ec, np.int32)
         z = np.zeros((ec, 3), np.float32)
         om = np.zeros((ec, 3, 3), np.float32)
+        rb = np.zeros(ec, bool)
         if e:
             ei[:e] = self._edges_i
             ej[:e] = self._edges_j
             z[:e] = np.stack(self._edges_z)
             om[:e] = np.stack(self._edges_om)
+            rb[:e] = self._edges_rb
         edge_mask = np.arange(ec) < e
-        return nodes, node_mask, ei, ej, z, om, edge_mask
+        return nodes, node_mask, ei, ej, z, om, edge_mask, rb
 
     # ── optimisation ─────────────────────────────────────────────────────
     def optimize(self, n_iterations=20, fix_node=0, convergence_eps=1e-6):
@@ -288,12 +319,13 @@ class PoseGraph2D:
             return self._optimize_cg(n_iterations, fix_node,
                                      convergence_eps, mesh=None)
         self.last_strategy = "dense"
-        nodes, node_mask, ei, ej, z, om, edge_mask = self._packed()
+        nodes, node_mask, ei, ej, z, om, edge_mask, rb = self._packed()
         out, _ = optimize_dense(
             jnp.asarray(nodes), jnp.asarray(node_mask),
             jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(z),
             jnp.asarray(om), jnp.asarray(edge_mask),
             jnp.int32(fix_node),
+            jnp.asarray(rb), jnp.float32(self.robust_phi),
             n_iterations=int(n_iterations),
             convergence_eps=convergence_eps,
         )
@@ -312,11 +344,12 @@ class PoseGraph2D:
             mesh = make_mesh(1)
         self.last_strategy = "cg" if int(mesh.devices.size) == 1 else \
             "dist_cg"
-        nodes, node_mask, ei, ej, z, om, edge_mask = self._packed()
+        nodes, node_mask, ei, ej, z, om, edge_mask, rb = self._packed()
         out, _ = optimize_cg(
             mesh, jnp.asarray(nodes), jnp.asarray(node_mask),
             ei, ej, z, om, edge_mask, int(fix_node),
             n_iterations=int(n_iterations), convergence_eps=convergence_eps,
+            robust_mask=rb, robust_phi=self.robust_phi,
         )
         out = np.asarray(out)
         for k in range(self.n_nodes):
@@ -340,10 +373,10 @@ class PoseGraph2D:
         from icp_tpu.parallel.dist_pose_graph import (
             optimize_schur, partition_graph, schur_within_limits,
         )
-        nodes, node_mask, ei, ej, z, om, edge_mask = self._packed()
+        nodes, node_mask, ei, ej, z, om, edge_mask, rb = self._packed()
         n_dev = int(self._mesh.devices.size)
         part = partition_graph(nodes.shape[0], ei, ej, z, om, edge_mask,
-                               n_dev, int(fix_node))
+                               n_dev, int(fix_node), robust=rb)
         if not schur_within_limits(
                 part, max_separators=self._max_separators,
                 cg_node_threshold=self._cg_node_threshold,
@@ -354,6 +387,7 @@ class PoseGraph2D:
         out, _ = optimize_schur(
             self._mesh, jnp.asarray(nodes), jnp.asarray(node_mask), part,
             n_iterations=int(n_iterations), convergence_eps=convergence_eps,
+            robust_phi=self.robust_phi,
         )
         out = np.asarray(out)
         for k in range(self.n_nodes):
@@ -372,7 +406,7 @@ class PoseGraph2D:
     def total_error(self) -> float:
         if self.n_edges == 0:
             return 0.0
-        nodes, _, ei, ej, z, om, edge_mask = self._packed()
+        nodes, _, ei, ej, z, om, edge_mask, _rb = self._packed()
         return float(total_error(
             jnp.asarray(nodes), jnp.asarray(ei), jnp.asarray(ej),
             jnp.asarray(z), jnp.asarray(om), jnp.asarray(edge_mask),

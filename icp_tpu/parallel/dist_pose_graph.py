@@ -40,6 +40,7 @@ from jax import shard_map
 
 from icp_tpu.models.pose_graph import (
     ANCHOR_WEIGHT, edge_terms, _block_products, _scatter_dense,
+    robust_omega,
 )
 from icp_tpu.utils.se2 import wrap_angle
 
@@ -106,19 +107,26 @@ def _inv3x3(M):
 
 
 def gn_step_cg_sharded(mesh: Mesh, nodes, node_mask, ei, ej, z, omega,
-                       edge_mask, fix_node, *, axis: str = "d",
+                       edge_mask, fix_node, robust_mask=None,
+                       robust_phi=1.0, *, axis: str = "d",
                        cg_iters: int = 50, cg_tol=1e-8):
     """One matrix-free GN step: block-Jacobi preconditioned CG over
-    psum-combined edge shards. Never forms H. Returns updated nodes."""
+    psum-combined edge shards. Never forms H. ``robust_mask`` flags edges
+    for DCS reweighting (models.pose_graph.robust_omega). Returns updated
+    nodes."""
     n = nodes.shape[0]
+    if robust_mask is None:
+        robust_mask = jnp.zeros(ei.shape[0], bool)
 
     @partial(
         shard_map, mesh=mesh,
-        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis), P()),
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis), P(), P()),
         out_specs=P(),
     )
-    def _step(nd, nm, lei, lej, lz, lom, lem, fix):
+    def _step(nd, nm, lei, lej, lz, lom, lem, lrb, rphi, fix):
         e, A, B = edge_terms(nd, lei, lej, lz, lom, lem)
+        lom = robust_omega(e, lom, lrb, rphi)
         w = lem.astype(e.dtype)[:, None, None]
         om = lom * w
         AtO = jnp.einsum("eij,eik->ejk", A, om)
@@ -183,7 +191,8 @@ def gn_step_cg_sharded(mesh: Mesh, nodes, node_mask, ei, ej, z, omega,
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         return _apply_update(nd, nm, dx)
 
-    return _step(nodes, node_mask, ei, ej, z, omega, edge_mask, fix_node)
+    return _step(nodes, node_mask, ei, ej, z, omega, edge_mask,
+                 robust_mask, jnp.float32(robust_phi), fix_node)
 
 
 class SchurPartition(NamedTuple):
@@ -210,18 +219,22 @@ class SchurPartition(NamedTuple):
     z: np.ndarray          # (D, e_cap, 3)
     omega: np.ndarray      # (D, e_cap, 3, 3)
     edge_mask: np.ndarray  # (D, e_cap) bool
+    robust: np.ndarray     # (D, e_cap) bool — DCS-reweighted edges
     fix_sep_pos: int       # anchor's position in sep_ids
 
 
 def partition_graph(n: int, ei, ej, z, omega, edge_mask, n_dev: int,
-                    fix_node: int) -> SchurPartition:
+                    fix_node: int, robust=None) -> SchurPartition:
     """Partition a pose graph for the distributed Schur solve (host side,
-    NumPy; runs once per optimize call, not per GN iteration)."""
+    NumPy; runs once per optimize call, not per GN iteration).
+    ``robust``: optional (E,) bool DCS flags, re-bucketed with the edges."""
     ei = np.asarray(ei, np.int64)
     ej = np.asarray(ej, np.int64)
     em = np.asarray(edge_mask, bool)
     z = np.asarray(z, np.float32)
     om = np.asarray(omega, np.float32)
+    rb = (np.zeros(len(ei), bool) if robust is None
+          else np.asarray(robust, bool))
 
     chunk = -(-n // n_dev)                       # ceil
     dev_of = np.minimum(np.arange(n) // chunk, n_dev - 1)
@@ -266,6 +279,7 @@ def partition_graph(n: int, ei, ej, z, omega, edge_mask, n_dev: int,
     lz = np.zeros((n_dev, e_cap, 3), np.float32)
     lom = np.zeros((n_dev, e_cap, 3, 3), np.float32)
     lem = np.zeros((n_dev, e_cap), bool)
+    lrb = np.zeros((n_dev, e_cap), bool)
     for d, b in enumerate(buckets):
         k = len(b)
         lei[d, :k] = ei[b]
@@ -275,6 +289,7 @@ def partition_graph(n: int, ei, ej, z, omega, edge_mask, n_dev: int,
         lz[d, :k] = z[b]
         lom[d, :k] = om[b]
         lem[d, :k] = True
+        lrb[d, :k] = rb[b]
 
     s_raw = len(sep)
     s_cap = _pow2(s_raw)
@@ -283,12 +298,13 @@ def partition_graph(n: int, ei, ej, z, omega, edge_mask, n_dev: int,
     sep_valid = np.zeros(s_cap, bool)
     sep_valid[:s_raw] = True
     return SchurPartition(int_ids, int_valid, sep_ids, sep_valid,
-                          lei, lej, lei_loc, lej_loc, lz, lom, lem,
+                          lei, lej, lei_loc, lej_loc, lz, lom, lem, lrb,
                           int(sep_pos[fix_node]))
 
 
 def gn_step_schur_sharded(mesh: Mesh, nodes, node_mask,
-                          part: SchurPartition, *, axis: str = "d"):
+                          part: SchurPartition, robust_phi=1.0, *,
+                          axis: str = "d"):
     """One EXACT GN step via distributed Schur-complement reduction.
 
     Per device: assemble the local (interior + separator) normal-equation
@@ -311,17 +327,18 @@ def gn_step_schur_sharded(mesh: Mesh, nodes, node_mask,
         in_specs=(P(), P(),
                   P(axis), P(axis), P(), P(),
                   P(axis), P(axis), P(axis), P(axis),
-                  P(axis), P(axis), P(axis)),
+                  P(axis), P(axis), P(axis), P(axis), P()),
         out_specs=P(),
     )
     def _step(nd, nm, int_ids, int_valid, sep_ids, sep_valid,
-              lei, lej, lei_loc, lej_loc, lz, lom, lem):
+              lei, lej, lei_loc, lej_loc, lz, lom, lem, lrb, rphi):
         int_ids, int_valid = int_ids[0], int_valid[0]
         lei, lej = lei[0], lej[0]
         lei_loc, lej_loc = lei_loc[0], lej_loc[0]
-        lz, lom, lem = lz[0], lom[0], lem[0]
+        lz, lom, lem, lrb = lz[0], lom[0], lem[0], lrb[0]
 
         e, A, B = edge_terms(nd, lei, lej, lz, lom, lem)
+        lom = robust_omega(e, lom, lrb, rphi)
         blocks = _block_products(e, A, B, lom, lem)
         H, b = _scatter_dense(nl, lei_loc, lej_loc, *blocks)
 
@@ -374,26 +391,30 @@ def gn_step_schur_sharded(mesh: Mesh, nodes, node_mask,
                  jnp.asarray(part.lei), jnp.asarray(part.lej),
                  jnp.asarray(part.lei_loc), jnp.asarray(part.lej_loc),
                  jnp.asarray(part.z), jnp.asarray(part.omega),
-                 jnp.asarray(part.edge_mask))
+                 jnp.asarray(part.edge_mask), jnp.asarray(part.robust),
+                 jnp.float32(robust_phi))
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis"))
-def _schur_step_cached(mesh, nodes, node_mask, part, *, axis="d"):
+def _schur_step_cached(mesh, nodes, node_mask, part, robust_phi=1.0, *,
+                       axis="d"):
     """Module-level jit of the Schur GN step: the partition arrays are
     ARGUMENTS (not closure constants), and partition_graph buckets its
     capacities to powers of two — so repeated optimize calls on a
     growing graph reuse compiled programs instead of re-tracing every
     online-BA invocation."""
-    return gn_step_schur_sharded(mesh, nodes, node_mask, part, axis=axis)
+    return gn_step_schur_sharded(mesh, nodes, node_mask, part, robust_phi,
+                                 axis=axis)
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis", "cg_iters"))
 def _cg_step_cached(mesh, nodes, node_mask, ei, ej, z, omega, edge_mask,
-                    fix_node, *, axis="d", cg_iters=100):
+                    fix_node, robust_mask=None, robust_phi=1.0, *,
+                    axis="d", cg_iters=100):
     """Module-level jit of the PCG GN step (see _schur_step_cached)."""
     return gn_step_cg_sharded(mesh, nodes, node_mask, ei, ej, z, omega,
-                              edge_mask, fix_node, axis=axis,
-                              cg_iters=cg_iters)
+                              edge_mask, fix_node, robust_mask, robust_phi,
+                              axis=axis, cg_iters=cg_iters)
 
 
 def schur_within_limits(part: SchurPartition, *, max_separators: int,
@@ -415,7 +436,8 @@ def schur_within_limits(part: SchurPartition, *, max_separators: int,
 
 def optimize_cg(mesh: Mesh, nodes, node_mask, ei, ej, z, omega, edge_mask,
                 fix_node: int = 0, *, n_iterations: int = 20,
-                convergence_eps=1e-6, cg_iters: int = 100, axis: str = "d"):
+                convergence_eps=1e-6, cg_iters: int = 100, axis: str = "d",
+                robust_mask=None, robust_phi: float = 1.0):
     """Full Gauss-Newton via the matrix-free PCG step — the scale path
     when the Schur reduction stops being cheap (separator blowup from
     dense closure clusters, or interiors too large to factor densely:
@@ -430,6 +452,8 @@ def optimize_cg(mesh: Mesh, nodes, node_mask, ei, ej, z, omega, edge_mask,
     """
     n_dev = mesh.shape[axis]
     e = ei.shape[0]
+    if robust_mask is None:
+        robust_mask = np.zeros(e, bool)
     pad = (-e) % n_dev
     if pad:
         zp = np.zeros
@@ -440,10 +464,13 @@ def optimize_cg(mesh: Mesh, nodes, node_mask, ei, ej, z, omega, edge_mask,
                                 zp((pad, 3, 3), np.float32)])
         edge_mask = np.concatenate([np.asarray(edge_mask),
                                     zp(pad, bool)])
+        robust_mask = np.concatenate([np.asarray(robust_mask),
+                                      zp(pad, bool)])
     args = tuple(jnp.asarray(a) for a in (ei, ej, z, omega, edge_mask))
+    rb = jnp.asarray(robust_mask)
     step = lambda nd, nm: _cg_step_cached(
-        mesh, nd, nm, *args, jnp.int32(fix_node), axis=axis,
-        cg_iters=cg_iters)
+        mesh, nd, nm, *args, jnp.int32(fix_node), rb,
+        jnp.float32(robust_phi), axis=axis, cg_iters=cg_iters)
     it = 0
     for it in range(1, n_iterations + 1):
         new = step(nodes, node_mask)
@@ -457,7 +484,7 @@ def optimize_cg(mesh: Mesh, nodes, node_mask, ei, ej, z, omega, edge_mask,
 
 def optimize_schur(mesh: Mesh, nodes, node_mask, part: SchurPartition, *,
                    n_iterations: int = 20, convergence_eps=1e-6,
-                   axis: str = "d"):
+                   axis: str = "d", robust_phi: float = 1.0):
     """Full Gauss-Newton optimize via the distributed Schur step.
 
     The partition depends only on graph TOPOLOGY (edges/chunks), not poses,
@@ -467,6 +494,7 @@ def optimize_schur(mesh: Mesh, nodes, node_mask, part: SchurPartition, *,
     between device steps. Returns (nodes, iters_run).
     """
     step = lambda nd, nm: _schur_step_cached(mesh, nd, nm, part,
+                                             jnp.float32(robust_phi),
                                              axis=axis)
     it = 0
     for it in range(1, n_iterations + 1):

@@ -73,6 +73,7 @@ class ScaledStats:
     gate_fallbacks: int = 0        # submap registrations failing the gate
     reg_dropped_points: int = 0    # points lost to static ICP capacities
     ba_runs: int = 0               # online BA invocations
+    replayed_keyframes: int = 0    # keyframes repainted by sync_map
     icp_iters: int = 0
     wall_registration: float = 0.0
     wall_mapping: float = 0.0
@@ -157,6 +158,9 @@ class ScaledPipeline:
                  lc_max_corr: float = 6.0,
                  lc_iterations: int = 40,
                  lc_info_scale: float = 10.0,
+                 lc_info_cap: float = 0.0,
+                 lc_robust: bool = False,
+                 lc_robust_phi: float = 1.0,
                  lc_max_candidates: int = 4,
                  lc_min_frac: float = 0.5,
                  lc_cooldown: int = 0,
@@ -185,6 +189,13 @@ class ScaledPipeline:
         self.lc_min_travel = float(lc_min_travel)
         self.lc_error_threshold = float(lc_error_threshold)
         self.lc_info_scale = float(lc_info_scale)
+        # robust closures (see SlamConfig.lc_info_cap/lc_robust): cap the
+        # scale/err weight explosion at edge creation, and/or flag LC
+        # edges for DCS reweighting inside the GN solves — the 50k-
+        # keyframe correlated-closure regime needs one of these to keep
+        # near-perfect re-matches from dominating the whole graph
+        self.lc_info_cap = float(lc_info_cap)
+        self.lc_robust = bool(lc_robust)
         self.lc_max_candidates = max(int(lc_max_candidates), 1)
         self.lc_min_frac = float(lc_min_frac)
         # one closure per revisit instead of per-check re-closing: repeated
@@ -287,14 +298,31 @@ class ScaledPipeline:
         mesh_ = mesh
         ms = self.max_steps
         l_hit, l_miss = self.l_hit, self.l_miss
-        lo_min, lo_max = self.lo_min, self.lo_max
         minx, miny, inv_res = self.min_x, self.min_y, 1.0 / self.resolution
         stride = self.map_ray_stride
         fu_cap = self.free_unique_cap
+        # The STORED grid is the UNCLAMPED log-odds accumulation; the
+        # [lo_min, lo_max] clamp applies at read (map_probability). That
+        # makes every paint purely additive, which is what allows EXACT
+        # incremental un-paint/re-paint after BA (sync_map): subtracting a
+        # keyframe's contribution at its old pose and adding it at the new
+        # one reproduces the full-replay sum bit-for-float-sum. The only
+        # semantic difference vs the reference's per-scan clamp
+        # (mapping.py:141) is cells that saturate a bound AND receive
+        # opposite-sign updates — and the map never feeds registration
+        # (same accepted deviation as the engine's batched paint).
+        INF = float(np.inf)
 
         @jax.jit
         def _paint(grid, pts, mask, R, t):
-            """sensor->world transform + cell conversion + sharded trace."""
+            """sensor->world transform + cell conversion + sharded trace.
+
+            Streaming paints the VOXELIZED keyframe cloud (kf_capacity
+            points), not the raw 10^5-pt scan: it is the cloud the post-BA
+            replay repaints (so incremental updates are exact inverses),
+            and it shrinks the per-scan scatter ~scan/kf-fold. Log-odds
+            saturate at read identically for any per-cell hit multiplicity
+            >= 1 per scan."""
             world = pts @ R.T + t
             hit_cells = jnp.stack([
                 jnp.floor((world[:, 0] - minx) * inv_res),
@@ -309,7 +337,7 @@ class ScaledPipeline:
             return raytrace_update_block_sharded(
                 mesh_, grid, origin_cell, hit_cells, mask,
                 jnp.float32(l_hit), jnp.float32(l_miss),
-                jnp.float32(lo_min), jnp.float32(lo_max), max_steps=ms,
+                jnp.float32(-INF), jnp.float32(INF), max_steps=ms,
                 ray_cells=ray_cells, ray_valid=ray_valid,
                 free_unique_cap=fu_cap,
             )
@@ -317,9 +345,11 @@ class ScaledPipeline:
         self._paint = _paint
 
         @jax.jit
-        def _replay(grid, kf_pts, kf_mask, Rs, ts):
+        def _replay(grid, kf_pts, kf_mask, Rs, ts, sign):
             """One chunk of keyframes -> world cells -> batched sharded
-            paint (the after-BA repaint; reference slam.py:271-277)."""
+            paint (the after-BA repaint; reference slam.py:271-277).
+            ``sign`` = +1 paints, -1 UN-paints (exact inverse on the
+            unclamped accumulation grid)."""
             world = jnp.einsum("bij,bnj->bni", Rs, kf_pts) + ts[:, None, :]
             hit_cells = jnp.stack([
                 jnp.floor((world[..., 0] - minx) * inv_res),
@@ -331,8 +361,8 @@ class ScaledPipeline:
             ray_valid = kf_mask[:, ::stride]
             return raytrace_replay_block_sharded(
                 mesh_, grid, origin_cells, hit_cells, kf_mask,
-                jnp.float32(l_hit), jnp.float32(l_miss),
-                jnp.float32(lo_min), jnp.float32(lo_max), max_steps=ms,
+                sign * l_hit, sign * l_miss,
+                jnp.float32(-INF), jnp.float32(INF), max_steps=ms,
                 ray_cells=ray_cells, ray_valid=ray_valid,
             )
 
@@ -460,6 +490,7 @@ class ScaledPipeline:
 
         # ── pose graph on the mesh ───────────────────────────────────────
         self.pose_graph = PoseGraph2D()
+        self.pose_graph.robust_phi = float(lc_robust_phi)
         self._dist_threshold = int(dist_node_threshold)
         if D > 1:
             self.pose_graph.set_mesh(mesh, dist_node_threshold)
@@ -473,6 +504,7 @@ class ScaledPipeline:
         self._travel = [0.0]
         self._accepts_since_ba = 0
         self._map_dirty = False
+        self._painted_T: list[np.ndarray] = []   # pose each kf was painted at
         self.gn_step_strategy = None         # set by time_gn_step
         self.stats = ScaledStats()
 
@@ -504,8 +536,10 @@ class ScaledPipeline:
         """Common per-scan bookkeeping: history, ring, node/edge, paint."""
         idx = len(self.trajectory)
         self.trajectory.append(self.global_pose.copy())
-        kf = self._downsample_kf(sp, sm)
-        self.kf_points.append(kf)
+        kf_p, kf_m = voxel_downsample_fixed(sp, sm, self.kf_voxel,
+                                            self.kf_cap)
+        kf_np, kf_mn = np.asarray(kf_p), np.asarray(kf_m)
+        self.kf_points.append(kf_np[kf_mn])
         self.kf_pos.append(self.global_pose[:2, 2].copy())
         if idx > 0:
             step_d = float(np.linalg.norm(
@@ -516,10 +550,12 @@ class ScaledPipeline:
         # helper only serves the scan-to-scan path, which has no ring)
 
         t0 = time.perf_counter()
+        # paint the voxelized keyframe — the cloud sync_map can un-paint
         self.log_odds = self._paint(
-            self.log_odds, sp, sm,
+            self.log_odds, kf_p, kf_m,
             jnp.asarray(self.global_pose[:2, :2]),
             jnp.asarray(self.global_pose[:2, 2]))
+        self._painted_T.append(self.global_pose.copy())
         self.stats.wall_mapping += time.perf_counter() - t0
         self.stats.scans += 1
         return cur_idx
@@ -578,8 +614,10 @@ class ScaledPipeline:
                 self._dev_pR, self._dev_pt, self._dev_iR, self._dev_it,
                 sp, sm, jnp.int32(idx % self.submap_kf))
             self._dev_pR, self._dev_pt = Rn, tn
-        # the sharded paint chains on the device pose — no host sync
-        self.log_odds = self._paint(self.log_odds, sp, sm, Rn, tn)
+        # the sharded paint chains on the device pose — no host sync.
+        # It paints the VOXELIZED keyframe (out[6:8]), the same cloud the
+        # post-BA replay repaints (see _paint docstring)
+        self.log_odds = self._paint(self.log_odds, out[6], out[7], Rn, tn)
         for x in out:
             x.copy_to_host_async()
         self._pending.append(out)
@@ -631,6 +669,9 @@ class ScaledPipeline:
             self.global_pose = _mat(Rn, tn)
             idx = len(self.trajectory)
             self.trajectory.append(self.global_pose.copy())
+            # pose this keyframe's map paint used (sync_map's incremental
+            # un-paint needs it verbatim)
+            self._painted_T.append(self.global_pose.copy())
             self.kf_points.append(kf_p[kf_m])
             self.kf_pos.append(self.global_pose[:2, 2].copy())
             if idx > 0:
@@ -751,10 +792,12 @@ class ScaledPipeline:
                 *(-r_lc.T @ t_lc),
                 -np.arctan2(r_lc[1, 0], r_lc[0, 0]),
             ], np.float32)
+            w = self.lc_info_scale / max(err, 1e-6)
+            if self.lc_info_cap > 0:
+                w = min(w, self.lc_info_cap)
             self.pose_graph.add_edge(
-                cur_idx, cand, z,
-                np.eye(3, dtype=np.float32) * (self.lc_info_scale
-                                               / max(err, 1e-6)))
+                cur_idx, cand, z, np.eye(3, dtype=np.float32) * w,
+                robust=self.lc_robust)
             self.stats.loop_closures += 1
             self._last_lc_accept = cur_idx
             return True
@@ -804,36 +847,75 @@ class ScaledPipeline:
         self.stats.wall_ba += time.perf_counter() - t0
         self.sync_map()
 
-    def sync_map(self):
-        """Repaint the block-sharded grid from the corrected keyframe
-        poses if BA has run since the last paint — the sharded analog of
-        the reference's _rebuild_map (slam.py:271-277), batched into
-        ``replay_chunk``-keyframe dispatches."""
-        if not self._map_dirty:
-            return
-        t0 = time.perf_counter()
-        self.log_odds = jax.device_put(
-            jnp.zeros((self.ny, self.nx), jnp.float32),
-            block_sharding(self.mesh))
-        K = len(self.kf_points)
+    def _replay_set(self, idxs, poses, sign: float):
+        """Paint (sign=+1) or un-paint (sign=-1) the given keyframes at
+        the given poses, in replay_chunk-sized batched dispatches."""
         C = self.replay_chunk
-        for c0 in range(0, K, C):
-            n = min(C, K - c0)
+        for c0 in range(0, len(idxs), C):
+            group = idxs[c0:c0 + C]
             pts = np.zeros((C, self.kf_cap, 2), np.float32)
             msk = np.zeros((C, self.kf_cap), bool)
             Rs = np.tile(np.eye(2, dtype=np.float32), (C, 1, 1))
             ts = np.zeros((C, 2), np.float32)
-            for k in range(n):
-                p, m = pad_points(self.kf_points[c0 + k], self.kf_cap)
+            for k, gi in enumerate(group):
+                p, m = pad_points(self.kf_points[gi], self.kf_cap)
                 pts[k], msk[k] = p, m
-                T = self.trajectory[c0 + k]
+                T = poses[gi]
                 Rs[k] = T[:2, :2]
                 ts[k] = T[:2, 2]
             self.log_odds = self._replay(
                 self.log_odds, jnp.asarray(pts), jnp.asarray(msk),
-                jnp.asarray(Rs), jnp.asarray(ts))
+                jnp.asarray(Rs), jnp.asarray(ts), jnp.float32(sign))
+
+    def sync_map(self):
+        """Bring the block-sharded grid in line with the corrected
+        keyframe poses if BA has run since the last paint — the sharded
+        analog of the reference's _rebuild_map (slam.py:271-277).
+
+        INCREMENTAL: every keyframe's paint is recorded with the pose it
+        used (_painted_T); only keyframes whose pose moved past a
+        tolerance (0.3 cell translation / equivalent arc rotation) are
+        un-painted at the old pose and repainted at the new one — exact
+        on the unclamped accumulation grid (see _paint). A 50k-keyframe
+        map where BA moved 2% of poses costs 2% of the full replay. When
+        most poses moved (> 50%), a zero+full replay is cheaper. Unmoved
+        keyframes stay painted within tolerance of their true pose, which
+        bounds the approximation at under a third of a cell."""
+        if not self._map_dirty:
+            return
+        t0 = time.perf_counter()
+        K = len(self.kf_points)
+        if len(self._painted_T) != K:
+            # unknown paint provenance (legacy checkpoint): full rebuild
+            moved = np.arange(max(K, 1))
+        elif K:
+            cur = np.stack(self.trajectory[:K])
+            old = np.stack(self._painted_T)
+            d_t = np.linalg.norm(cur[:, :2, 2] - old[:, :2, 2], axis=1)
+            d_yaw = np.abs((np.arctan2(cur[:, 1, 0], cur[:, 0, 0])
+                            - np.arctan2(old[:, 1, 0], old[:, 0, 0])
+                            + np.pi) % (2 * np.pi) - np.pi)
+            tol_t = 0.3 * self.resolution
+            tol_y = tol_t / max(self.max_range, 1e-6)
+            moved = np.where((d_t > tol_t) | (d_yaw > tol_y))[0]
+        else:
+            moved = np.zeros(0, np.int64)
+        if len(moved) > 0.5 * K:
+            self.log_odds = jax.device_put(
+                jnp.zeros((self.ny, self.nx), jnp.float32),
+                block_sharding(self.mesh))
+            self._replay_set(list(range(K)), self.trajectory, +1.0)
+            self._painted_T = [self.trajectory[k].copy() for k in range(K)]
+        elif len(moved):
+            mv = [int(k) for k in moved]
+            self._replay_set(mv, self._painted_T, -1.0)   # exact un-paint
+            self._replay_set(mv, self.trajectory, +1.0)
+            for k in mv:
+                self._painted_T[k] = self.trajectory[k].copy()
         jax.block_until_ready(self.log_odds)       # sync for honest timing
         self.stats.wall_replay += time.perf_counter() - t0
+        self.stats.replayed_keyframes += (
+            K if len(moved) > 0.5 * K else int(len(moved)))
         self._map_dirty = False
 
     def time_gn_step(self, reps: int = 5) -> float:
@@ -849,13 +931,15 @@ class ScaledPipeline:
         )
         self.finish()
         pg = self.pose_graph
-        nodes, node_mask, ei, ej, z, om, em = pg._packed()
+        nodes, node_mask, ei, ej, z, om, em, rb = pg._packed()
         n_dev = int(self.mesh.devices.size)
         t0 = time.perf_counter()
-        part = partition_graph(nodes.shape[0], ei, ej, z, om, em, n_dev, 0)
+        part = partition_graph(nodes.shape[0], ei, ej, z, om, em, n_dev, 0,
+                               robust=rb)
         self.stats.partition_wall = time.perf_counter() - t0
         nd = jnp.asarray(nodes)
         nm = jnp.asarray(node_mask)
+        rphi = jnp.float32(pg.robust_phi)
         # the SAME selection predicate optimize() uses, so the benchmarked
         # strategy is the executed one
         if not schur_within_limits(
@@ -867,13 +951,14 @@ class ScaledPipeline:
             pad = (-e) % n_dev
             args = [np.concatenate([np.asarray(a), np.zeros(
                 (pad,) + np.asarray(a).shape[1:], np.asarray(a).dtype)])
-                if pad else np.asarray(a) for a in (ei, ej, z, om, em)]
+                if pad else np.asarray(a) for a in (ei, ej, z, om, em, rb)]
             args = [jnp.asarray(a) for a in args]
-            fn = lambda a, b: _cg_step_cached(self.mesh, a, b, *args,
-                                              jnp.int32(0))
+            fn = lambda a, b: _cg_step_cached(self.mesh, a, b, *args[:5],
+                                              jnp.int32(0), args[5], rphi)
         else:
             self.gn_step_strategy = "schur"
-            fn = lambda a, b: _schur_step_cached(self.mesh, a, b, part)
+            fn = lambda a, b: _schur_step_cached(self.mesh, a, b, part,
+                                                 rphi)
         out = fn(nd, nm)
         np.asarray(out)                      # sync (compile + first run)
         t0 = time.perf_counter()
@@ -919,12 +1004,15 @@ class ScaledPipeline:
             prev_inc=prev_inc,
             log_odds=lo,
             map_dirty=np.array([self._map_dirty]),
+            painted_T=(np.stack(self._painted_T) if self._painted_T
+                       else np.zeros((0, 3, 3), np.float32)),
             pg_ei=np.array(pg._edges_i, np.int32),
             pg_ej=np.array(pg._edges_j, np.int32),
             pg_z=(np.stack(pg._edges_z) if pg.n_edges
                   else np.zeros((0, 3), np.float32)),
             pg_om=(np.stack(pg._edges_om) if pg.n_edges
                    else np.zeros((0, 3, 3), np.float32)),
+            pg_rb=np.array(pg._edges_rb, bool),
             stats=np.array([self.stats.scans, self.stats.loop_closures,
                             self.stats.gate_fallbacks, self.stats.ba_runs,
                             self._accepts_since_ba,
@@ -959,16 +1047,29 @@ class ScaledPipeline:
         self.log_odds = jax.device_put(
             jnp.asarray(d["log_odds"]), block_sharding(self.mesh))
         self._map_dirty = bool(d["map_dirty"][0])
+        if "painted_T" in d and len(d["painted_T"]) == len(self.trajectory):
+            pt = d["painted_T"].astype(np.float32)
+            self._painted_T = [pt[k].copy() for k in range(len(pt))]
+        else:
+            # legacy checkpoint: paint provenance unknown — sync_map will
+            # rebuild the grid from scratch at the next read
+            self._painted_T = []
+            self._map_dirty = True
+        rphi = self.pose_graph.robust_phi
         self.pose_graph = PoseGraph2D()
+        self.pose_graph.robust_phi = rphi
         if int(self.mesh.devices.size) > 1:
             self.pose_graph.set_mesh(self.mesh, self._dist_threshold)
         for T in self.trajectory:
             self.pose_graph.add_node(np.array(
                 [T[0, 2], T[1, 2], np.arctan2(T[1, 0], T[0, 0])],
                 np.float32))
-        for i, j, z, om in zip(d["pg_ei"], d["pg_ej"], d["pg_z"],
-                               d["pg_om"]):
-            self.pose_graph.add_edge(int(i), int(j), z, om)
+        rbs = (d["pg_rb"] if "pg_rb" in d
+               else np.zeros(len(d["pg_ei"]), bool))
+        for i, j, z, om, rb in zip(d["pg_ei"], d["pg_ej"], d["pg_z"],
+                                   d["pg_om"], rbs):
+            self.pose_graph.add_edge(int(i), int(j), z, om,
+                                     robust=bool(rb))
         st = d["stats"]
         self.stats.scans = int(st[0])
         self.stats.loop_closures = int(st[1])
@@ -1014,4 +1115,7 @@ class ScaledPipeline:
                                                   tiled=True))
         else:
             lo = np.asarray(self.log_odds)
+        # the stored grid is the unclamped accumulation (see _paint);
+        # the reference's log-odds bounds apply at read
+        lo = np.clip(lo, self.lo_min, self.lo_max)
         return 1.0 - 1.0 / (1.0 + np.exp(lo))

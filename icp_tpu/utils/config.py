@@ -91,6 +91,16 @@ class SlamConfig:
     # correlated edges whose measurement bias drags the optimized
     # trajectory; 0 keeps reference behavior.
     lc_cooldown: int = 0
+    # new vs reference: robustify LC edges. The reference weights a
+    # closure by scale/max(err, 1e-6) (slam.py:583-597) — a near-perfect
+    # re-match (err ~ 1e-4) gets weight ~1e5 and single-handedly drags the
+    # optimized trajectory. information_cap bounds that weight at edge
+    # creation (0 = uncapped reference behavior); robust: true flags LC
+    # edges for DCS reweighting inside the optimizer
+    # (models.pose_graph.robust_omega), with chi2 scale robust_phi.
+    lc_info_cap: float = 0.0
+    lc_robust: bool = False
+    lc_robust_phi: float = 1.0
 
     # filter
     z_min: float = 0.2
@@ -165,13 +175,14 @@ class SlamConfig:
     # (dense is faster for small graphs; Schur is exact, so the crossover
     # is purely a perf knob)
     dist_node_threshold: int = 1024
-    # per-iteration ICP correspondence search inside the fused step:
-    # "xla" (distance-matrix; the default — the Pallas kernel inside the
-    # scanned fused program multiplies compile time ~3x on the remote
-    # backend for a ~7% step gain), "pallas"/"auto" (Pallas streaming NN;
-    # wins big for standalone icp_core at 10^4+ target points, see
-    # BENCHMARKS.md roofline)
-    nn_impl: str = "xla"
+    # per-iteration ICP correspondence search: "auto" (the default) picks
+    # the Pallas streaming NN kernel on TPU backends when the 2D shapes
+    # tile cleanly and the XLA distance-matrix elsewhere — the measured
+    # decision table (BENCHMARKS.md roofline) shows Pallas winning on TPU
+    # at every pipeline shape (3-7% per fused step, 1.6x for standalone
+    # icp_large matching) at the cost of extra compile time, which lands
+    # in warm-up. "xla"/"pallas" force one implementation.
+    nn_impl: str = "auto"
 
     @property
     def sweep_src_cap(self) -> int:
@@ -242,6 +253,9 @@ class SlamConfig:
         c.lc_info_scale = lc.get("information_scale", 10.0)
         c.lc_min_travel = lc.get("min_cumulative_travel", 20.0)
         c.lc_cooldown = lc.get("cooldown", 0)
+        c.lc_info_cap = lc.get("information_cap", 0.0)
+        c.lc_robust = lc.get("robust", False)
+        c.lc_robust_phi = lc.get("robust_phi", 1.0)
 
         c.z_min = _get(cfg, "filter", "z_min", 0.2)
         c.z_max = _get(cfg, "filter", "z_max", 2.0)
@@ -285,7 +299,7 @@ class SlamConfig:
         c.sweep_tgt_capacity = t.get("sweep_tgt_capacity", "auto")
         c.distributed = t.get("distributed", "auto")
         c.dist_node_threshold = t.get("dist_node_threshold", 1024)
-        c.nn_impl = t.get("nn_impl", "xla")
+        c.nn_impl = t.get("nn_impl", "auto")
         return c
 
     @classmethod

@@ -283,3 +283,34 @@ def test_scaled_cli_mode(tmp_path):
     assert (prob > 0.6).sum() > 50
     traj = np.load(traj_path)
     assert traj.shape[1:] == (3, 3) and len(traj) == 30
+
+
+def test_incremental_replay_matches_full(scans):
+    """sync_map's incremental un-paint/re-paint (round-4) must reproduce
+    the full from-zero replay: perturb a few poses past the tolerance,
+    sync incrementally, and compare against a pipeline forced down the
+    full-rebuild path on the same state."""
+    pts, gt = scans
+    pipe = _make(1)
+    for p in pts[:14]:
+        pipe.step(p)
+    pipe.finish()
+    pipe.sync_map()
+
+    # BA-like correction: move 3 of the keyframes well past the tolerance
+    rng = np.random.default_rng(5)
+    for k in (2, 5, 9):
+        pipe.trajectory[k] = pipe.trajectory[k].copy()
+        pipe.trajectory[k][:2, 2] += rng.uniform(-0.6, 0.6, 2).astype(
+            np.float32)
+    pipe._map_dirty = True
+    pipe.sync_map()                        # incremental path (3 of 14)
+    assert 0 < pipe.stats.replayed_keyframes <= 6
+    inc = np.asarray(pipe.log_odds).copy()
+
+    # full rebuild of the same state (force the >50% path)
+    pipe._painted_T = []
+    pipe._map_dirty = True
+    pipe.sync_map()
+    full = np.asarray(pipe.log_odds)
+    np.testing.assert_allclose(inc, full, atol=1e-3)

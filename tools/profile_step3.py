@@ -103,7 +103,11 @@ def main():
         icp_normal_k=12, icp_error_threshold=1e-10,
         error_reject_threshold=0.5,
         rotation_voxel_size=0.15, angle_step_coarse=1.5, angle_step_fine=0.1,
-        submap_enabled=True, submap_voxel=0.04, submap_capacity=8192,
+        # submap_capacity matches bench.py (and the engine state built
+        # above) unconditionally so the PROFILE_BATCHED A/B isolates
+        # batched_map alone instead of conflating it with a capacity
+        # change (ADVICE r3)
+        submap_enabled=True, submap_voxel=0.04, submap_capacity=4096,
         sub_rot_range=60.0, sub_rot_step=0.8, sub_rot_fine=0.1,
         sub_rot_voxel=0.2, sub_corr_dist=1.5, imu_narrow=3.0,
         grid_min_x=engine.mapper.min_x, grid_min_y=engine.mapper.min_y,
@@ -115,11 +119,9 @@ def main():
         free_cells_cap=engine.mapper.free_cells_cap,
     )
     # PROFILE_BATCHED=1: profile the shipping hot path (batched_map dedup
-    # raytrace once per chunk, bench.py's 4096 submap capacity) instead of
-    # the per-scan-paint step variant
+    # raytrace once per chunk) instead of the per-scan-paint step variant
     if os.environ.get("PROFILE_BATCHED"):
         mk_kwargs["batched_map"] = True
-        mk_kwargs["submap_capacity"] = 4096
     print(f"free_cells_cap={engine.mapper.free_cells_cap}", flush=True)
 
     k0 = 1 + 4 * B
