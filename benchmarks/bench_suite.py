@@ -249,6 +249,10 @@ def bench_lc():
             "ate_no_lc_m": round(ate_off, 4),
             "ate_improvement_m": round(ate_off - ate_lc, 4),
             "wall_lc_s": round(eng.stats.wall_loop_closure, 2),
+            "wall_lc_verify_s": round(eng.stats.wall_lc_verify, 2),
+            "lc_checks": eng.stats.lc_checks,
+            "lc_pairs": eng.stats.lc_pairs,
+            "lc_groups": eng.stats.lc_groups,
             "wall_registration_s": round(eng.stats.wall_registration, 2)}
 
 

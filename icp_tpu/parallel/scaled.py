@@ -509,13 +509,6 @@ class ScaledPipeline:
         self.stats = ScaledStats()
 
     # ── helpers ──────────────────────────────────────────────────────────
-    def _downsample_kf(self, pts_pad, mask):
-        d, dm = voxel_downsample_fixed(pts_pad, mask, self.kf_voxel,
-                                       self.kf_cap)
-        d = np.asarray(d)
-        dm = np.asarray(dm)
-        return d[dm]
-
     def _add_node_edge(self, err):
         v = np.array([self.global_pose[0, 2], self.global_pose[1, 2],
                       np.arctan2(self.global_pose[1, 0],
