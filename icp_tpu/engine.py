@@ -154,6 +154,12 @@ class SlamEngine:
 
         self._cap = cfg.scan_capacity
         self._sub_cap = cfg.submap_capacity
+        # features-mode per-scan cache shapes (see SlamState.feat)
+        self._feat_shapes = (
+            (int(cfg.top_n), int(cfg.k_descriptor))
+            if (cfg.alignment_method == "features" and imu is None)
+            else None
+        )
 
         # Fused single-dispatch path (models/slam_step.py): every
         # pre-alignment mode is fused (rotation_search, features, both,
@@ -715,7 +721,8 @@ class SlamEngine:
         sp, sm = _pad_fixed(first_points, self._cap)
         self._state = init_state(sp, sm, m.log_odds,
                                  max(int(cfg.submap_size), 1),
-                                 seed=int(cfg.ransac_iterations))
+                                 seed=int(cfg.ransac_iterations),
+                                 feat_shapes=self._feat_shapes)
 
     def sync_map(self):
         """Pull the device-resident grid into the mapper (for export).
@@ -794,6 +801,8 @@ class SlamEngine:
                 ring_pts[i, n:] = gp[0]
             ring_mask[i, :n] = True
         sp, sm = _pad_fixed(points_2d, cap)
+        from icp_tpu.models.slam_step import blank_feat_state
+        feat, feat_valid = blank_feat_state(cap, self._feat_shapes)
         self._state = SlamState(
             prev_pts=sp, prev_mask=sm,
             global_pose=jnp.asarray(self.global_pose, jnp.float32),
@@ -805,6 +814,9 @@ class SlamEngine:
             # donating fused program has already consumed
             log_odds=self._state.log_odds,
             key=self._state.key,
+            # invalidated cache: the next step re-extracts prev's features
+            # in-graph (once per closure — negligible)
+            feat=feat, feat_valid=feat_valid,
         )
 
     def _bookkeep_fused(self, points_2d, out_pose, out_error, out_accepted,

@@ -16,6 +16,7 @@ TPU-native re-design of /root/reference/utilities/features.py:
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -140,6 +141,78 @@ def compact_matches(src_kp, dst_kp, match_j, match_mask):
     return src, dst, pair_mask
 
 
+class FeatureSet(NamedTuple):
+    """Extracted per-cloud features (fixed shapes; streamable state).
+
+    ``kp_xy`` carries the keypoint coordinates directly so a cached set
+    is self-contained (no gather into the source cloud needed later)."""
+    pts: jax.Array        # (cap, 2) voxel-downsampled cloud
+    mask: jax.Array       # (cap,)
+    kp_xy: jax.Array      # (top_n, 2) keypoint coordinates
+    kp_mask: jax.Array    # (top_n,)
+    desc: jax.Array       # (top_n, k_descriptor)
+
+
+def blank_features(cap: int, top_n: int, k_descriptor: int) -> FeatureSet:
+    """All-invalid FeatureSet of the right shapes (state initializer)."""
+    return FeatureSet(
+        pts=jnp.zeros((cap, 2), jnp.float32),
+        mask=jnp.zeros((cap,), bool),
+        kp_xy=jnp.zeros((top_n, 2), jnp.float32),
+        kp_mask=jnp.zeros((top_n,), bool),
+        desc=jnp.zeros((top_n, k_descriptor), jnp.float32),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k_curvature", "top_n", "k_descriptor"),
+)
+def extract_features(points, mask, *, voxel_size=0.2, k_curvature: int = 10,
+                     top_n: int = 100, min_kp_dist=0.3,
+                     k_descriptor: int = 30) -> FeatureSet:
+    """Per-cloud half of the pipeline: downsample -> curvature ->
+    keypoints -> descriptors (reference features.py:283-295). Pure
+    function of one cloud, so the fused streaming step caches the current
+    scan's set and reuses it as the next scan's source — bit-exact."""
+    pts, m = voxel_downsample(points, mask, voxel_size)
+    curv = compute_curvature(pts, m, k=k_curvature)
+    kpi, kpm = extract_keypoints(pts, m, curv, top_n=top_n,
+                                 min_dist=min_kp_dist)
+    desc = compute_descriptors(pts, m, kpi, kpm, k=k_descriptor)
+    return FeatureSet(pts=pts, mask=m, kp_xy=pts[kpi], kp_mask=kpm,
+                      desc=desc)
+
+
+@partial(jax.jit, static_argnames=("ransac_iterations",))
+def match_and_align(fs: FeatureSet, ft: FeatureSet, key, *,
+                    ratio_threshold=0.8, ransac_iterations: int = 1000,
+                    inlier_threshold=0.5):
+    """Pair half: Lowe-ratio matching + batched RANSAC + failure gates
+    (reference features.py:298-315). Returns (R, t, n_inliers)."""
+    match_j, match_mask = match_descriptors(
+        fs.desc, fs.kp_mask, ft.desc, ft.kp_mask, ratio_threshold
+    )
+    m_src, m_dst, pair_mask = compact_matches(
+        fs.kp_xy, ft.kp_xy, match_j, match_mask
+    )
+    R, t, n_inliers = ransac_align(
+        m_src, m_dst, pair_mask, key,
+        n_iter=ransac_iterations, inlier_thresh=inlier_threshold,
+    )
+    enough = (
+        (jnp.sum(fs.mask.astype(jnp.int32)) >= 10)
+        & (jnp.sum(ft.mask.astype(jnp.int32)) >= 10)
+        & (jnp.sum(fs.kp_mask.astype(jnp.int32)) >= 2)
+        & (jnp.sum(ft.kp_mask.astype(jnp.int32)) >= 2)
+        & (jnp.sum(match_mask.astype(jnp.int32)) >= 2)
+    )
+    R = jnp.where(enough, R, jnp.eye(2, dtype=jnp.float32))
+    t = jnp.where(enough, t, jnp.zeros(2, jnp.float32))
+    n_inliers = jnp.where(enough, n_inliers, 0)
+    return R, t, n_inliers
+
+
 @partial(
     jax.jit,
     static_argnames=("k_curvature", "top_n", "k_descriptor",
@@ -162,41 +235,16 @@ def feature_based_alignment(
     Reference: feature_based_alignment
     (/root/reference/utilities/features.py:247-315). All failure paths
     (too few points / keypoints / matches, RANSAC failure) return
-    (I, 0, 0) like the reference.
-    """
-    src, sm = voxel_downsample(source, src_mask, voxel_size)
-    tgt, tm = voxel_downsample(target, tgt_mask, voxel_size)
-
-    curv_s = compute_curvature(src, sm, k=k_curvature)
-    curv_t = compute_curvature(tgt, tm, k=k_curvature)
-    kpi_s, kpm_s = extract_keypoints(src, sm, curv_s, top_n=top_n,
-                                     min_dist=min_kp_dist)
-    kpi_t, kpm_t = extract_keypoints(tgt, tm, curv_t, top_n=top_n,
-                                     min_dist=min_kp_dist)
-
-    desc_s = compute_descriptors(src, sm, kpi_s, kpm_s, k=k_descriptor)
-    desc_t = compute_descriptors(tgt, tm, kpi_t, kpm_t, k=k_descriptor)
-
-    match_j, match_mask = match_descriptors(
-        desc_s, kpm_s, desc_t, kpm_t, ratio_threshold
-    )
-    m_src, m_dst, pair_mask = compact_matches(
-        src[kpi_s], tgt[kpi_t], match_j, match_mask
-    )
-
-    R, t, n_inliers = ransac_align(
-        m_src, m_dst, pair_mask, key,
-        n_iter=ransac_iterations, inlier_thresh=inlier_threshold,
-    )
-
-    enough = (
-        (jnp.sum(sm.astype(jnp.int32)) >= 10)
-        & (jnp.sum(tm.astype(jnp.int32)) >= 10)
-        & (jnp.sum(kpm_s.astype(jnp.int32)) >= 2)
-        & (jnp.sum(kpm_t.astype(jnp.int32)) >= 2)
-        & (jnp.sum(match_mask.astype(jnp.int32)) >= 2)
-    )
-    R = jnp.where(enough, R, jnp.eye(2, dtype=jnp.float32))
-    t = jnp.where(enough, t, jnp.zeros(2, jnp.float32))
-    n_inliers = jnp.where(enough, n_inliers, 0)
-    return R, t, n_inliers
+    (I, 0, 0) like the reference. Composed from extract_features (per
+    cloud) + match_and_align (per pair)."""
+    fs = extract_features(source, src_mask, voxel_size=voxel_size,
+                          k_curvature=k_curvature, top_n=top_n,
+                          min_kp_dist=min_kp_dist,
+                          k_descriptor=k_descriptor)
+    ft = extract_features(target, tgt_mask, voxel_size=voxel_size,
+                          k_curvature=k_curvature, top_n=top_n,
+                          min_kp_dist=min_kp_dist,
+                          k_descriptor=k_descriptor)
+    return match_and_align(fs, ft, key, ratio_threshold=ratio_threshold,
+                           ransac_iterations=ransac_iterations,
+                           inlier_threshold=inlier_threshold)

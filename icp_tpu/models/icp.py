@@ -102,7 +102,12 @@ def icp_core(
     reference icp.py:179). "xla" materializes the (N, M) distance matrix;
     "pallas" streams target tiles through VMEM (ops/pallas/nn_kernel.py),
     keeping HBM traffic O(N+M) — the win grows with M (submap matching);
-    "auto" picks pallas on TPU when the 2D shapes tile cleanly. Both break
+    "auto" picks pallas on TPU when the 2D shapes tile cleanly AND the
+    target is large enough for streaming to pay: the measured crossover
+    (BENCHMARKS.md decision table) is M ~ 4096 — below it the whole
+    distance matrix is small enough that the fused XLA form wins (at
+    768 x 768 inside the scanned fused step, XLA is ~1.3x faster; at
+    1024 x 8192 pallas wins ~7%, at 65k targets ~1.6x). Both break
     argmin ties toward the lower index, so results are identical.
     """
     dim = source.shape[1]
@@ -115,7 +120,10 @@ def icp_core(
             raise ValueError(
                 f"nn_impl='pallas' needs tileable 2D shapes, got "
                 f"N={source.shape[0]}, M={target.shape[0]}")
-        if jax.default_backend() not in ("tpu",) and nn_impl == "auto":
+        if nn_impl == "auto" and (
+            jax.default_backend() not in ("tpu",)
+            or target.shape[0] < 4096          # measured crossover
+        ):
             nn_tiles = None
     n_valid = jnp.sum(src_mask.astype(jnp.float32))
     min_inliers = jnp.maximum(3.0, jnp.floor(n_valid / 10.0))

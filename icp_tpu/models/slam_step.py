@@ -30,8 +30,11 @@ from typing import NamedTuple
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from icp_tpu.models.icp import icp_core
+from icp_tpu.models.features import (FeatureSet, blank_features,
+                                     extract_features, match_and_align)
 from icp_tpu.models.prealign import rotation_search, submap_rotation_search
 from icp_tpu.ops.raytrace import raytrace_update, raytrace_update_batched
 from icp_tpu.ops.voxel import voxel_downsample, voxel_downsample_fixed
@@ -48,6 +51,14 @@ class SlamState(NamedTuple):
     ring_idx: jax.Array      # scalar int32 — next slot to write
     log_odds: jax.Array      # (ny, nx)
     key: jax.Array           # (2,) uint32 PRNG key (features-mode RANSAC)
+    # features-mode cache: the PREVIOUS scan's extracted features.
+    # extract_features is a pure function of one cloud, and in "features"
+    # mode (no rotation-search pre-rotation) each scan's features are
+    # computed once as the pair target and reused as the next pair's
+    # source — bit-exact, halves per-scan feature extraction. Dummy
+    # (1-sized) arrays in every other mode.
+    feat: FeatureSet = None
+    feat_valid: jax.Array = None   # bool scalar — cache holds prev's feats
 
 
 class StepOut(NamedTuple):
@@ -65,12 +76,23 @@ class StepOut(NamedTuple):
                              # points; engine counts + warns)
 
 
-def init_state(first_scan, first_mask, log_odds, ring_k: int, seed: int = 0):
+def blank_feat_state(cap: int, feat_shapes=None):
+    """(FeatureSet, valid) initializer: real shapes in features mode
+    (feat_shapes = (top_n, k_descriptor)), 1-sized dummies otherwise."""
+    if feat_shapes is None:
+        return blank_features(1, 1, 1), jnp.bool_(False)
+    top_n, kd = feat_shapes
+    return blank_features(cap, int(top_n), int(kd)), jnp.bool_(False)
+
+
+def init_state(first_scan, first_mask, log_odds, ring_k: int, seed: int = 0,
+               feat_shapes=None):
     """Device state after the reference's first-scan initialization.
 
     ``log_odds`` is the grid already containing the first scan's update
     (the engine performs the first update through the modular path while
-    establishing bounds).
+    establishing bounds). ``feat_shapes``: (top_n, k_descriptor) to carry
+    the features-mode cache (see SlamState.feat), None otherwise.
     """
     cap = first_scan.shape[0]
     ring_pts = jnp.zeros((ring_k, cap, 2), jnp.float32)
@@ -78,6 +100,7 @@ def init_state(first_scan, first_mask, log_odds, ring_k: int, seed: int = 0):
     # slot 0 <- first scan in global frame (identity pose)
     ring_pts = ring_pts.at[0].set(first_scan)
     ring_mask = ring_mask.at[0].set(first_mask)
+    feat, feat_valid = blank_feat_state(cap, feat_shapes)
     return SlamState(
         prev_pts=first_scan,
         prev_mask=first_mask,
@@ -87,6 +110,8 @@ def init_state(first_scan, first_mask, log_odds, ring_k: int, seed: int = 0):
         ring_idx=jnp.int32(1),
         log_odds=jnp.asarray(log_odds, jnp.float32),
         key=jax.random.PRNGKey(seed),
+        feat=feat,
+        feat_valid=feat_valid,
     )
 
 
@@ -153,16 +178,51 @@ def make_slam_step(
     inv_res = 1.0 / grid_resolution
     grid_min = np.array([grid_min_x, grid_min_y], np.float32)
 
+    # cache previous-scan features across steps: exact only when the
+    # source cloud reaches feature extraction UNROTATED, i.e. pure
+    # "features" mode without IMU ("both" pre-rotates by the sweep result,
+    # which changes the voxel binning)
+    cache_feats = (not use_imu) and prealign == "features"
+    feat_kw = dict(voxel_size=feat_voxel, k_curvature=k_curvature,
+                   top_n=top_n, min_kp_dist=min_kp_dist,
+                   k_descriptor=k_descriptor)
+
     def step(state: SlamState, cur_pts, cur_mask, imu_delta, imu_yaw,
              paint_map: bool = True):
         # ── Step 1: scan-to-scan odometry (slam.py:465-483) ──────────────
         key = state.key
+        feat_cur = state.feat
+        feat_cur_valid = state.feat_valid
         if use_imu:
             R0 = se2.rotmat(imu_delta)
             t0 = jnp.zeros(2, jnp.float32)
         elif prealign == "none":       # vanilla ICP (reference method "none")
             R0 = jnp.eye(2, dtype=jnp.float32)
             t0 = jnp.zeros(2, jnp.float32)
+        elif cache_feats:
+            # features-only pre-alignment with the per-scan cache: the
+            # current scan's features are extracted ONCE here and carried
+            # as the next step's source features (reference recomputes
+            # both sides per pair, features.py:283-295 — identical output,
+            # half the extraction work)
+            key, sub = jax.random.split(key)
+            feat_cur = extract_features(cur_pts, cur_mask, **feat_kw)
+            feat_cur_valid = jnp.bool_(True)
+            feat_prev = lax.cond(
+                state.feat_valid,
+                lambda: state.feat,
+                lambda: extract_features(state.prev_pts, state.prev_mask,
+                                         **feat_kw),
+            )
+            R_f, t_f, n_in = match_and_align(
+                feat_prev, feat_cur, sub,
+                ratio_threshold=ratio_threshold,
+                ransac_iterations=ransac_iterations,
+                inlier_threshold=inlier_threshold,
+            )
+            ok = n_in >= min_inliers
+            R0 = jnp.where(ok, R_f, jnp.eye(2, dtype=jnp.float32))
+            t0 = jnp.where(ok, t_f, jnp.zeros(2, jnp.float32))
         else:
             if prealign in ("rotation_search", "both"):
                 R0, t0, _ = rotation_search(
@@ -304,6 +364,16 @@ def make_slam_step(
         )
         ring_idx = state.ring_idx + accepted.astype(jnp.int32)
 
+        if cache_feats:
+            # degenerate scans are skipped wholesale (prev unchanged), so
+            # the cache must keep describing the OLD prev
+            new_feat = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(degenerate, a, b),
+                state.feat, feat_cur)
+            new_feat_valid = jnp.where(degenerate, state.feat_valid,
+                                       feat_cur_valid)
+        else:
+            new_feat, new_feat_valid = state.feat, state.feat_valid
         new_state = SlamState(
             prev_pts=jnp.where(degenerate, state.prev_pts, cur_pts),
             prev_mask=jnp.where(degenerate, state.prev_mask, cur_mask),
@@ -313,6 +383,8 @@ def make_slam_step(
             ring_idx=ring_idx,
             log_odds=log_odds,
             key=key,
+            feat=new_feat,
+            feat_valid=new_feat_valid,
         )
         out = StepOut(
             pose=new_pose, error=error, accepted=accepted,
