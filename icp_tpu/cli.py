@@ -187,6 +187,9 @@ def _run_scaled(cfg, args):
             lc_error_threshold=float(cfg.lc_error_threshold),
             lc_max_candidates=int(cfg.lc_max_candidates),
             lc_info_scale=float(cfg.lc_info_scale),
+            lc_info_cap=float(cfg.lc_info_cap),
+            lc_robust=bool(cfg.lc_robust),
+            lc_robust_phi=float(cfg.lc_robust_phi),
             lc_cooldown=int(cfg.lc_cooldown),
             ba_every=int(sc.get("ba_every", 1)),
         )
