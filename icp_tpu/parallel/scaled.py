@@ -497,11 +497,18 @@ class ScaledPipeline:
         self.global_pose = np.eye(3, dtype=np.float32)
         self.trajectory: list[np.ndarray] = []
         self.kf_points: list[np.ndarray] = []   # downsampled, sensor frame
-        self.kf_pos: list[np.ndarray] = []
+        # keyframe positions + cumulative travel as PREALLOCATED growing
+        # arrays: the LC gates read them every lc_every scans, and
+        # np.stack over a 50k-element Python list costs tens of ms per
+        # check (measured — it dominated the 50k run's host wall past
+        # ~10k keyframes). Doubling growth, O(1) amortized append.
+        self._kf_xy = np.zeros((1024, 2), np.float32)
+        self._trav = np.zeros(1024, np.float64)
+        self._n_kf = 0
+        self._gc_next = 4096                     # periodic gc freeze mark
         self._prev = None                        # (padded pts, mask) device
         self._prev_inc = np.eye(3, dtype=np.float32)   # last relative motion
         self._n_seen = 0                         # scans handed to step()
-        self._travel = [0.0]
         self._accepts_since_ba = 0
         self._map_dirty = False
         self._painted_T: list[np.ndarray] = []   # pose each kf was painted at
@@ -509,6 +516,54 @@ class ScaledPipeline:
         self.stats = ScaledStats()
 
     # ── helpers ──────────────────────────────────────────────────────────
+    def _downsample_kf(self, pts_pad, mask):
+        """Compact voxelized keyframe cloud (host array)."""
+        d, dm = voxel_downsample_fixed(pts_pad, mask, self.kf_voxel,
+                                       self.kf_cap)
+        return np.asarray(d)[np.asarray(dm)]
+
+    @property
+    def kf_pos(self) -> np.ndarray:
+        """(n, 2) keyframe positions view (row k = keyframe k)."""
+        return self._kf_xy[:self._n_kf]
+
+    def _append_kf_pos(self, xy: np.ndarray):
+        n = self._n_kf
+        if n == len(self._kf_xy):
+            self._kf_xy = np.concatenate([self._kf_xy,
+                                          np.zeros_like(self._kf_xy)])
+            self._trav = np.concatenate([self._trav,
+                                         np.zeros_like(self._trav)])
+        self._kf_xy[n] = xy
+        self._trav[n] = (0.0 if n == 0 else self._trav[n - 1]
+                         + float(np.linalg.norm(xy - self._kf_xy[n - 1])))
+        self._n_kf = n + 1
+
+    def _set_kf_pos(self, xy_all: np.ndarray):
+        """Rewrite positions/travel wholesale (post-BA correction)."""
+        n = len(xy_all)
+        cap = max(1024, 1 << (max(n, 1) - 1).bit_length())
+        self._kf_xy = np.zeros((cap, 2), np.float32)
+        self._trav = np.zeros(cap, np.float64)
+        self._kf_xy[:n] = xy_all
+        if n > 1:
+            steps = np.linalg.norm(np.diff(xy_all.astype(np.float64),
+                                           axis=0), axis=1)
+            self._trav[1:n] = np.cumsum(steps)
+        self._n_kf = n
+
+    def _maybe_gc_freeze(self):
+        """Periodically collect + freeze: the host keeps O(n) long-lived
+        small objects (keyframe clouds, poses, graph edges); without
+        freezing, every gen-2 GC pass re-scans all of them and the
+        per-scan host cost grows with the run. Frozen objects are
+        permanent by construction here (run history)."""
+        if self.stats.scans >= self._gc_next:
+            import gc
+            gc.collect()
+            gc.freeze()
+            self._gc_next += 4096
+
     def _add_node_edge(self, err):
         v = np.array([self.global_pose[0, 2], self.global_pose[1, 2],
                       np.arctan2(self.global_pose[1, 0],
@@ -533,11 +588,7 @@ class ScaledPipeline:
                                             self.kf_cap)
         kf_np, kf_mn = np.asarray(kf_p), np.asarray(kf_m)
         self.kf_points.append(kf_np[kf_mn])
-        self.kf_pos.append(self.global_pose[:2, 2].copy())
-        if idx > 0:
-            step_d = float(np.linalg.norm(
-                self.kf_pos[-1] - self.kf_pos[-2]))
-            self._travel.append(self._travel[-1] + step_d)
+        self._append_kf_pos(self.global_pose[:2, 2])
         cur_idx = self._add_node_edge(err)
         # (submap mode maintains its ring inside the fused step; this
         # helper only serves the scan-to-scan path, which has no ring)
@@ -666,13 +717,11 @@ class ScaledPipeline:
             # un-paint needs it verbatim)
             self._painted_T.append(self.global_pose.copy())
             self.kf_points.append(kf_p[kf_m])
-            self.kf_pos.append(self.global_pose[:2, 2].copy())
-            if idx > 0:
-                self._travel.append(self._travel[-1] + float(
-                    np.linalg.norm(self.kf_pos[-1] - self.kf_pos[-2])))
+            self._append_kf_pos(self.global_pose[:2, 2])
             self._add_node_edge(err if idx > 0 else 1.0)
             self.stats.scans += 1
         self._pending.clear()
+        self._maybe_gc_freeze()
         self.stats.wall_registration += time.perf_counter() - t0
 
     def finish(self):
@@ -726,11 +775,12 @@ class ScaledPipeline:
         if (self.lc_cooldown > 0 and self._last_lc_accept is not None
                 and cur_idx - self._last_lc_accept < self.lc_cooldown):
             return False
-        pos = np.stack(self.kf_pos)
+        n = self._n_kf
+        pos = self._kf_xy[:n]
         cur = pos[cur_idx]
-        idx = np.arange(len(pos))
+        idx = np.arange(n)
         dist = np.linalg.norm(pos - cur, axis=1)
-        travel = self._travel[cur_idx] - np.asarray(self._travel)
+        travel = self._trav[cur_idx] - self._trav[:n]
         ok = ((cur_idx - idx >= self.lc_min_interval)
               & (dist < self.lc_distance)
               & (travel >= self.lc_min_travel))
@@ -811,12 +861,7 @@ class ScaledPipeline:
         n = len(self.trajectory)
         self.trajectory = [m.copy() for m in corrected[:n]]
         self.global_pose = self.trajectory[-1].copy()
-        self.kf_pos = [m[:2, 2].copy() for m in self.trajectory]
-        steps = [0.0] + [
-            float(np.linalg.norm(self.kf_pos[i] - self.kf_pos[i - 1]))
-            for i in range(1, n)
-        ]
-        self._travel = list(np.cumsum(steps))
+        self._set_kf_pos(np.stack(self.trajectory)[:, :2, 2])
         if n >= 2:
             self._prev_inc = (_inv(self.trajectory[-2])
                               @ self.trajectory[-1]).astype(np.float32)
@@ -993,7 +1038,7 @@ class ScaledPipeline:
             if n else np.zeros((0, 3, 3), np.float32),
             kf_lens=lens,
             kf_flat=flat,
-            travel=np.asarray(self._travel, np.float64),
+            travel=self._trav[:self._n_kf].copy(),
             prev_inc=prev_inc,
             log_odds=lo,
             map_dirty=np.array([self._map_dirty]),
@@ -1032,8 +1077,9 @@ class ScaledPipeline:
         for ln in d["kf_lens"]:
             self.kf_points.append(flat[off:off + ln])
             off += ln
-        self.kf_pos = [m[:2, 2].copy() for m in self.trajectory]
-        self._travel = list(d["travel"])
+        self._set_kf_pos(np.stack(self.trajectory)[:, :2, 2]
+                         if self.trajectory
+                         else np.zeros((0, 2), np.float32))
         self._prev_inc = d["prev_inc"].astype(np.float32)
         self.global_pose = (self.trajectory[-1].copy() if self.trajectory
                             else np.eye(3, dtype=np.float32))
