@@ -333,15 +333,145 @@ class PoseGraph2D:
         for k in range(self.n_nodes):
             self._nodes[k] = out[k]
 
+    def _coarse_correct(self, fix_node: int, stride: int):
+        """Hierarchical initialization for huge chains (HOG-Man-style).
+
+        Block-Jacobi PCG propagates information roughly cg_iters nodes
+        per GN step, so on a 50k-node odometry chain a loop closure's
+        correction never reaches the far side and the optimizer stalls
+        at the streamed trajectory (measured: 50k-keyframe ATE stuck at
+        1.29 m with ate_stream == ate_final). Remedy: condense every
+        ``stride``-th node into a supernode graph (segment odometry
+        composed from the CURRENT estimate with information scaled by
+        1/stride; each loop-closure edge re-anchored to its endpoints'
+        supernodes by composing the current-estimate offsets), solve it
+        with the DENSE GN (supernode count ~ n/stride ~ 1000: one small
+        device solve moves information across the whole graph at once),
+        then interpolate each supernode's world-frame correction along
+        its segment (linear in translation, wrapped-linear in yaw).
+        Local odometry is preserved to first order; the subsequent CG
+        polish only has to fix short-range residuals, which is exactly
+        what block-Jacobi PCG is good at."""
+        n = self.n_nodes
+        sup = list(range(0, n, stride))
+        if sup[-1] != n - 1:
+            sup.append(n - 1)
+        ns = len(sup)
+        sup_arr = np.asarray(sup)
+        nodes_np = np.stack(self._nodes)
+
+        def vec_to_T(v):
+            c, s = np.cos(v[2]), np.sin(v[2])
+            return np.array([[c, -s, v[0]], [s, c, v[1]], [0, 0, 1]],
+                            np.float64)
+
+        def T_to_vec(T):
+            return np.array([T[0, 2], T[1, 2],
+                             np.arctan2(T[1, 0], T[0, 0])], np.float32)
+
+        Ts = np.zeros((n, 3, 3), np.float64)
+        c = np.cos(nodes_np[:, 2]); s = np.sin(nodes_np[:, 2])
+        Ts[:, 0, 0] = c; Ts[:, 0, 1] = -s; Ts[:, 0, 2] = nodes_np[:, 0]
+        Ts[:, 1, 0] = s; Ts[:, 1, 1] = c; Ts[:, 1, 2] = nodes_np[:, 1]
+        Ts[:, 2, 2] = 1.0
+
+        def rel(a, b):
+            Ta = Ts[a]
+            R = Ta[:2, :2]
+            inv = np.eye(3)
+            inv[:2, :2] = R.T
+            inv[:2, 2] = -R.T @ Ta[:2, 2]
+            return T_to_vec(inv @ Ts[b])
+
+        cg = PoseGraph2D()
+        cg.robust_phi = self.robust_phi
+        for k in sup:
+            cg.add_node(nodes_np[k])
+        # segment odometry from the current estimate; the segment is an
+        # unconstrained chain between closures, so this is exact up to
+        # the last optimize's residuals. Info ~ 1/stride (variances add)
+        seg_info = np.eye(3, dtype=np.float32) / float(stride)
+        for k in range(ns - 1):
+            cg.add_edge(k, k + 1, rel(sup[k], sup[k + 1]), seg_info)
+        # re-anchor non-chain (loop-closure) edges to their supernodes
+        sup_of = np.minimum(np.round(np.arange(n) / stride).astype(int),
+                            ns - 1)
+        ei_a = np.asarray(self._edges_i)
+        ej_a = np.asarray(self._edges_j)
+        non_chain = np.where(np.abs(ei_a - ej_a) != 1)[0]
+        for e in non_chain:
+            i, j = int(ei_a[e]), int(ej_a[e])
+            a, b = int(sup_of[i]), int(sup_of[j])
+            if a == b:
+                continue
+            Za = vec_to_T(rel(sup[a], i))      # offset supernode -> node
+            Zb = vec_to_T(rel(sup[b], j))
+            Zij = vec_to_T(self._edges_z[e])
+            z_ab = T_to_vec(Za @ Zij @ np.linalg.inv(Zb))
+            cg.add_edge(a, b, z_ab, self._edges_om[e],
+                        robust=self._edges_rb[e])
+        cg.optimize(n_iterations=30,
+                    fix_node=int(sup_of[fix_node]))
+
+        # world-frame correction per supernode, interpolated along segments
+        new_sup = np.stack(cg._nodes)
+        dxy = new_sup[:, :2] - nodes_np[sup_arr, :2]
+        dth = ((new_sup[:, 2] - nodes_np[sup_arr, 2] + np.pi)
+               % (2 * np.pi) - np.pi)
+        seg = np.clip(np.searchsorted(sup_arr, np.arange(n),
+                                      side="right") - 1, 0, ns - 2)
+        a = sup_arr[seg]
+        b = sup_arr[seg + 1]
+        t = (np.arange(n) - a) / np.maximum(b - a, 1)
+        ddth = ((dth[seg + 1] - dth[seg] + np.pi) % (2 * np.pi)) - np.pi
+        dthi = dth[seg] + ddth * t
+        # rotate each node about its segment-start supernode by the
+        # interpolated yaw correction (preserves intra-segment odometry
+        # to first order), translate by the start correction, then
+        # distribute the residual ENDPOINT mismatch linearly so both
+        # supernodes land exactly on their coarse-solved poses
+        rot_c = np.cos(dthi); rot_s = np.sin(dthi)
+        px = nodes_np[:, 0] - nodes_np[a, 0]
+        py = nodes_np[:, 1] - nodes_np[a, 1]
+        qx = nodes_np[a, 0] + dxy[seg][:, 0] + rot_c * px - rot_s * py
+        qy = nodes_np[a, 1] + dxy[seg][:, 1] + rot_s * px + rot_c * py
+        # endpoint mismatch of each segment under the rotate-about-start
+        # map (evaluated at the segment END, t=1)
+        eb_c = np.cos(dth[seg + 1]); eb_s = np.sin(dth[seg + 1])
+        bx = nodes_np[b, 0] - nodes_np[a, 0]
+        by = nodes_np[b, 1] - nodes_np[a, 1]
+        mx = (nodes_np[b, 0] + dxy[seg + 1][:, 0]
+              - (nodes_np[a, 0] + dxy[seg][:, 0] + eb_c * bx - eb_s * by))
+        my = (nodes_np[b, 1] + dxy[seg + 1][:, 1]
+              - (nodes_np[a, 1] + dxy[seg][:, 1] + eb_s * bx + eb_c * by))
+        qx = qx + t * mx
+        qy = qy + t * my
+        qth = nodes_np[:, 2] + dthi
+        out = np.stack([qx, qy,
+                        ((qth + np.pi) % (2 * np.pi)) - np.pi],
+                       axis=1).astype(np.float32)
+        # pin the anchored node exactly
+        out[fix_node] = nodes_np[fix_node]
+        for k in range(n):
+            self._nodes[k] = out[k]
+
+    # coarse-init threshold: below it plain PCG converges fine
+    _coarse_threshold = 5000
+
     def _optimize_cg(self, n_iterations, fix_node, convergence_eps,
                      mesh=None):
         """Matrix-free block-Jacobi PCG Gauss-Newton (single- or multi-
         device) — the O(edges)-memory path for graphs past the dense/Schur
-        regimes."""
+        regimes. Above _coarse_threshold nodes a hierarchical coarse
+        solve initializes the correction globally first (see
+        _coarse_correct); the PCG then polishes locally."""
         from icp_tpu.parallel.dist_pose_graph import optimize_cg
         if mesh is None:
             from icp_tpu.parallel.mesh import make_mesh
             mesh = make_mesh(1)
+        if self.n_nodes >= self._coarse_threshold:
+            stride = max(2, self.n_nodes // 1000)
+            self._coarse_correct(int(fix_node), stride)
         self.last_strategy = "cg" if int(mesh.devices.size) == 1 else \
             "dist_cg"
         nodes, node_mask, ei, ej, z, om, edge_mask, rb = self._packed()
