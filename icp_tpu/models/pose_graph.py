@@ -408,8 +408,16 @@ class PoseGraph2D:
             Zb = vec_to_T(rel(sup[b], j))
             Zij = vec_to_T(self._edges_z[e])
             z_ab = T_to_vec(Za @ Zij @ np.linalg.inv(Zb))
-            cg.add_edge(a, b, z_ab, self._edges_om[e],
-                        robust=self._edges_rb[e])
+            # deliberately NOT robust at the coarse level: before the
+            # first global correction a TRUE closure's residual is the
+            # full accumulated drift (metres), so chi2 >> phi and DCS
+            # would suppress exactly the edges this level exists to
+            # apply (measured: 50k ATE stuck at 0.82 m with robust
+            # coarse edges vs the target <0.3). The information cap
+            # bounds outlier damage here; DCS guards the FINE polish,
+            # where initialization is good and residual magnitude is
+            # meaningful.
+            cg.add_edge(a, b, z_ab, self._edges_om[e])
         cg.optimize(n_iterations=30,
                     fix_node=int(sup_of[fix_node]))
 

@@ -94,3 +94,21 @@ def test_coarse_correct_endpoints_exact():
     d_before = np.linalg.norm(est[-1, :2] - true_xy[-1])
     d_after = np.linalg.norm(out[-1, :2] - true_xy[-1])
     assert d_after < 0.5 * d_before, (d_before, d_after)
+
+
+def test_coarse_init_with_robust_closure():
+    """A TRUE closure flagged robust (DCS) must still close the loop:
+    the coarse level applies it un-robustified (before the first global
+    correction its residual is the full drift, which DCS would suppress),
+    the fine polish then sees small residuals. Regression for the 50k
+    run stuck at ATE 0.82 m."""
+    n = 8000
+    pg, true_xy, est = _drifted_loop(n)
+    # re-flag the closure edge (last added) as robust
+    pg._edges_rb[-1] = True
+    err_before = np.linalg.norm(est[:, :2] - true_xy, axis=1)
+    pg.optimize(n_iterations=10)
+    out = np.stack(pg.nodes)
+    err_after = np.linalg.norm(out[:, :2] - true_xy, axis=1)
+    assert err_after.max() < 0.25 * err_before.max(), (
+        err_before.max(), err_after.max())
