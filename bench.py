@@ -52,16 +52,20 @@ def main():
     cfg = SlamConfig.from_dict({
         "data_file": lidar_csv,
         "imu": {"enabled": True, "file": imu_csv, "narrow_search_range": 3.0},
-        "icp": {"method": "point_to_line", "normal_k": 12, "voxel_size": 0.04,
+        # accuracy profile (round-4 A/B battery, tools/ab_ate.py):
+        # submap voxel 0.05, sweep-scoring voxel 0.15, fine sweep 0.05,
+        # normal_k 16 measure ATE 0.0414 m vs 0.0491 at the round-3
+        # values and 0.0463 for the NumPy baseline on the same sequence
+        "icp": {"method": "point_to_line", "normal_k": 16, "voxel_size": 0.04,
                 "error_threshold": 1e-10, "max_iterations": 150,
                 "error_reject_threshold": 0.5},
         "features": {"method": "rotation_search",
                      "rotation_voxel_size": 0.15,
                      "angle_step_coarse": 1.5, "angle_step_fine": 0.1},
-        "submap": {"enabled": True, "size": 40, "voxel_size": 0.04,
+        "submap": {"enabled": True, "size": 40, "voxel_size": 0.05,
                    "max_corr_dist": 1.5, "rotation_range": 60.0,
-                   "rotation_step": 0.8, "rotation_fine_step": 0.1,
-                   "rotation_voxel_size": 0.2},
+                   "rotation_step": 0.8, "rotation_fine_step": 0.05,
+                   "rotation_voxel_size": 0.15},
         "loop_closure": {"enabled": False},
         "filter": {"z_min": 0.5, "z_max": 2.0},
         "mapping": {"resolution": 0.05, "margin": 50.0},

@@ -159,7 +159,7 @@ def _run_pipeline(submap: bool, lc: bool, method: str = "rotation_search",
         "data_file": lidar,
         "imu": {"enabled": use_imu, "file": imu_f,
                 "narrow_search_range": 3.0},
-        "icp": {"method": "point_to_line", "normal_k": 12, "voxel_size": 0.04,
+        "icp": {"method": "point_to_line", "normal_k": 16, "voxel_size": 0.04,
                 "error_threshold": 1e-10, "max_iterations": 150,
                 "error_reject_threshold": 0.5},
         "features": {"method": method, "rotation_voxel_size": 0.15,
@@ -168,10 +168,11 @@ def _run_pipeline(submap: bool, lc: bool, method: str = "rotation_search",
                      "min_kp_dist": 0.2, "k_descriptor": 16,
                      "ratio_threshold": 0.8, "ransac_iterations": 512,
                      "inlier_threshold": 0.3, "min_inliers": 4},
-        "submap": {"enabled": submap, "size": 40, "voxel_size": 0.04,
+        # round-4 accuracy profile (see bench.py / tools/ab_ate.py)
+        "submap": {"enabled": submap, "size": 40, "voxel_size": 0.05,
                    "max_corr_dist": 1.5, "rotation_range": 60.0,
-                   "rotation_step": 0.8, "rotation_fine_step": 0.1,
-                   "rotation_voxel_size": 0.2},
+                   "rotation_step": 0.8, "rotation_fine_step": 0.05,
+                   "rotation_voxel_size": 0.15},
         "loop_closure": {"enabled": lc, "distance_threshold": 3.0,
                          "min_interval": 80, "min_cumulative_travel": 6.0,
                          "max_candidates": 5, "error_threshold": 0.08,

@@ -43,15 +43,15 @@ def main():
         "data_file": "data/bench_lidar.csv",
         "imu": {"enabled": True, "file": "data/bench_imu.csv",
                 "narrow_search_range": 3.0},
-        "icp": {"method": "point_to_line", "normal_k": 12, "voxel_size": 0.04,
+        "icp": {"method": "point_to_line", "normal_k": 16, "voxel_size": 0.04,
                 "error_threshold": 1e-10, "max_iterations": 150,
                 "error_reject_threshold": 0.5},
         "features": {"method": "rotation_search", "rotation_voxel_size": 0.15,
                      "angle_step_coarse": 1.5, "angle_step_fine": 0.1},
-        "submap": {"enabled": True, "size": 40, "voxel_size": 0.04,
+        "submap": {"enabled": True, "size": 40, "voxel_size": 0.05,
                    "max_corr_dist": 1.5, "rotation_range": 60.0,
-                   "rotation_step": 0.8, "rotation_fine_step": 0.1,
-                   "rotation_voxel_size": 0.2},
+                   "rotation_step": 0.8, "rotation_fine_step": 0.05,
+                   "rotation_voxel_size": 0.15},
         "loop_closure": {"enabled": False},
         "filter": {"z_min": 0.5, "z_max": 2.0},
         "mapping": {"resolution": 0.05, "margin": 50.0},
