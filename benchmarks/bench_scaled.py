@@ -87,8 +87,10 @@ def main():
         dist_node_threshold=2,
     )
 
+    traj = os.environ.get("BENCH_SCALED_TRAJ", "loop")
     stream = large_scan_stream(n_scans, n_points=n_points, extent=100.0,
-                               max_range=35.0, noise=0.02, seed=3)
+                               max_range=35.0, noise=0.02, seed=3,
+                               trajectory=traj)
     gt = []
     WARM = 3
     t0 = None
@@ -150,6 +152,7 @@ def main():
         "wall_replay_s": round(st.wall_replay, 2),
         "replayed_keyframes": st.replayed_keyframes,
         "map_cells": pipe.ny * pipe.nx,
+        "trajectory": traj,
         "backend": jax.default_backend(),
     }))
 

@@ -103,7 +103,7 @@ def make_dense_world(rng, n_points=1_000_000, extent=100.0, n_walls=220):
 
 def large_scan_stream(n_scans, n_points=100_000, extent=100.0,
                       max_range=35.0, noise=0.02, seed=0,
-                      world_points=None):
+                      world_points=None, trajectory="loop"):
     """Generator of (scan, gt_pose) for the scaled pipeline: each scan is
     ``n_points`` sensor-frame points sampled (with replacement) from the
     dense world within ``max_range`` of the pose. Ground truth is a loop
@@ -118,8 +118,18 @@ def large_scan_stream(n_scans, n_points=100_000, extent=100.0,
              if world_points is None else world_points)
     s = np.linspace(0, 2 * np.pi, n_scans)
     rad = extent * 0.55
-    x = rad * np.cos(s - np.pi / 2)
-    y = rad * 0.8 * np.sin(s - np.pi / 2)
+    if trajectory == "eight":
+        # Bernoulli lemniscate: SELF-INTERSECTING, so loop closures are
+        # possible mid-run (at both center passes), not only between the
+        # endpoints — the ellipse default can never produce a mid-loop
+        # constraint, which bounds its post-BA ATE (BENCHMARKS.md 50k
+        # analysis)
+        den = 1.0 + np.sin(s) ** 2
+        x = rad * np.cos(s) / den
+        y = rad * 0.9 * np.sin(s) * np.cos(s) / den
+    else:
+        x = rad * np.cos(s - np.pi / 2)
+        y = rad * 0.8 * np.sin(s - np.pi / 2)
     yaw = np.arctan2(np.gradient(y), np.gradient(x))
     gt = np.stack([x, y, yaw], axis=1)
 
