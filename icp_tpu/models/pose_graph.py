@@ -303,8 +303,28 @@ class PoseGraph2D:
 
     # ── optimisation ─────────────────────────────────────────────────────
     def optimize(self, n_iterations=20, fix_node=0, convergence_eps=1e-6):
+        """Gauss-Newton with a DIVERGENCE GUARD: the pre-solve state is
+        snapshotted and restored if the solve leaves the graph with a
+        higher (or non-finite) total error than it started with. Plain
+        GN has no line search / trust region; on a hard graph (e.g. many
+        cross-heading closures far from linearization validity) a bad
+        step can compound over iterations into an absurd trajectory —
+        measured: a terminal BA on the self-intersecting stress route
+        exploded 0.54 m -> 8e5 m. Rejecting such a solve keeps the
+        streamed estimate, which is always a valid fallback."""
         if self.n_nodes < 2 or self.n_edges == 0:
             return
+        before = self.total_error()
+        snapshot = [v.copy() for v in self._nodes]
+        self._optimize_inner(n_iterations, fix_node, convergence_eps)
+        after = self.total_error()
+        if (not np.isfinite(after)) or after > before * 1.5 + 1e-6:
+            self._nodes = snapshot
+            self.last_strategy = f"{self.last_strategy}+rejected"
+            print(f"  [warn] pose-graph solve rejected (chi2 "
+                  f"{before:.3g} -> {after:.3g}); keeping prior estimate")
+
+    def _optimize_inner(self, n_iterations, fix_node, convergence_eps):
         if (self._mesh is not None
                 and self._mesh.devices.size > 1
                 and self.n_nodes >= self._dist_threshold):

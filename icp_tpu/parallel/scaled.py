@@ -212,17 +212,28 @@ class ScaledPipeline:
         # LC verification: keyframes are voxelized (<= kf_capacity pts), so
         # brute-force masked ICP is affordable and — unlike the cell-grid
         # registration ICP whose gate is sized for per-step motion — must
-        # swallow ACCUMULATED loop drift. Coarse gated pull (lc_max_corr)
-        # from the estimated relative pose, then a fine pass at the
-        # registration gate. Compiled once (fixed kf_capacity shapes).
+        # swallow ACCUMULATED loop drift. The INITIALIZATION is a GLOBAL
+        # rotation search (the engine's reference-faithful verify,
+        # slam.py:575-579 -> 53-98), NOT the drifted pose estimate: at a
+        # cross-heading revisit (self-intersecting route) estimate-init
+        # verification locks onto a consistent wrong mode that clears the
+        # inlier gates and defeats DCS (BENCHMARKS.md "Stress case" —
+        # ATE 19.9 m on the lemniscate). Then a coarse gated pull
+        # (lc_max_corr) and a fine pass at the registration gate.
+        # Compiled once (fixed kf_capacity shapes).
         from icp_tpu.models.icp import icp_core
+        from icp_tpu.models.prealign import rotation_search
         from icp_tpu.ops.nn import nn_query
         _coarse = float(lc_max_corr)
         _fine = float(icp_max_corr)
         _iters = int(lc_iterations)
+        _sweep_voxel = max(2.0 * self.kf_voxel, 0.5)
 
         def _lc_verify_one(ap, am, bp, bm, R0, t0):
-            r1 = icp_core(ap, am, bp, bm, R0, t0,
+            Rs, ts, _ = rotation_search(
+                ap, am, bp, bm, voxel_size=_sweep_voxel,
+                angle_step_coarse=3.0, angle_step_fine=0.5)
+            r1 = icp_core(ap, am, bp, bm, Rs, ts,
                           method="point_to_point", max_iterations=_iters,
                           max_corr_dist=_coarse, use_gate=True)
             r2 = icp_core(ap, am, bp, bm, r1.R, r1.t,

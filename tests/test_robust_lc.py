@@ -105,3 +105,20 @@ def test_robust_matches_across_strategies(strategy):
                                 part, n_iterations=30, robust_phi=1.0)
     got = np.asarray(out)[:24]
     np.testing.assert_allclose(got, dense_nodes, atol=2e-3)
+
+
+def test_optimize_divergence_guard():
+    """A solve that leaves the graph WORSE than it started (or
+    non-finite) must be rejected wholesale — the streamed estimate is
+    always a valid fallback (round-4 guard; the stress-route terminal BA
+    exploded 0.54 m -> 8e5 m without it)."""
+    pg = _chain_graph(n=10, robust_flag=False, bad_weight=1.0)
+    before_nodes = np.stack(pg.nodes)
+
+    def corrupt(n_iterations, fix_node, convergence_eps):
+        for k in range(pg.n_nodes):
+            pg._nodes[k] = pg._nodes[k] + 1e6
+    pg._optimize_inner = corrupt
+    pg.optimize(n_iterations=5)
+    assert pg.last_strategy is None or "rejected" in str(pg.last_strategy)
+    np.testing.assert_allclose(np.stack(pg.nodes), before_nodes)
