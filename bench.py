@@ -167,15 +167,21 @@ def main():
     from benchmarks.baseline_np import BaselineSlam
     N_BASE = 20
     imu_yaws = np.array([imu.yaw_at(r) for r in rels])
+    # SAME accuracy profile as the engine above (normal_k 16, submap
+    # voxel 0.05, fine sweep 0.05, sweep voxel 0.15): these are generic
+    # accuracy knobs from the reference's config schema
+    # (/root/reference/config.yaml:1-118), not TPU knobs, so a fair A/B
+    # gives the baseline the identical tuning (round-4 compared tuned-
+    # ours vs round-3-profile baseline; VERDICT r4 weak #5)
     base_cfg = {
-        "method": "point_to_line", "normal_k": 12, "voxel_size": 0.04,
+        "method": "point_to_line", "normal_k": 16, "voxel_size": 0.04,
         "error_threshold": 1e-10, "max_iterations": 150,
         "error_reject_threshold": 0.5,
         "rotation_voxel_size": 0.15, "angle_step_coarse": 1.5,
         "angle_step_fine": 0.1,
-        "submap_enabled": True, "submap_size": 40, "submap_voxel": 0.04,
+        "submap_enabled": True, "submap_size": 40, "submap_voxel": 0.05,
         "sub_corr_dist": 1.5, "sub_rot_range": 60.0, "sub_rot_step": 0.8,
-        "sub_rot_fine": 0.1, "sub_rot_voxel": 0.2, "imu_narrow": 3.0,
+        "sub_rot_fine": 0.05, "sub_rot_voxel": 0.15, "imu_narrow": 3.0,
     }
     base = BaselineSlam(base_cfg, imu_yaws=imu_yaws)
     # warm the baseline to steady state (full 40-scan submap) so both

@@ -176,7 +176,7 @@ def _run_scaled(cfg, args):
         kf_capacity=int(sc.get("kf_capacity", 8192)),
         kf_voxel=float(sc.get("kf_voxel", max(cfg.map_resolution, 0.1))),
         submap_keyframes=int(sc.get("submap_keyframes", 8)),
-        replay_chunk=int(sc.get("replay_chunk", 8)),
+        replay_chunk=int(sc.get("replay_chunk", 32)),
     )
     if cfg.lc_enabled:
         kw.update(
@@ -196,6 +196,10 @@ def _run_scaled(cfg, args):
     else:
         kw.update(lc_min_interval=10 ** 9)     # loop closure disabled
     pipe = ScaledPipeline(make_mesh(), **kw)
+    if cfg.lc_enabled:
+        # compile the post-BA replay up front (36.8 s measured on the
+        # remote-TPU backend if left to land inside the first sync_map)
+        pipe.warm_replay()
 
     for k, pts in enumerate(stream()):
         pipe.step(pts)

@@ -109,6 +109,10 @@ class SlamStats:
     wall_mapping: float = 0.0
     wall_loop_closure: float = 0.0
     wall_lc_verify: float = 0.0    # device verify dispatch+fetch inside ^
+    wall_lc_apply: float = 0.0     # optimize + history rewrite + resync
+    wall_fetch: float = 0.0        # blocking device_get of chunk outputs
+    wall_bookkeep: float = 0.0     # host per-scan bookkeeping (LC path)
+    lc_requeued_scans: int = 0     # rollback re-registrations after accepts
 
 
 class SlamEngine:
@@ -891,7 +895,9 @@ class SlamEngine:
         computed for later nodes are simply thrown away, never misused.
         """
         cfg = self.cfg
+        t_f = time.perf_counter()
         outs = jax.device_get(outs_dev)
+        self.stats.wall_fetch += time.perf_counter() - t_f
         self._check_sub_saturation(outs.sub_n)
         self._check_sweep_drop(outs.sweep_drop)
         n = len(chunk_s)
@@ -954,6 +960,7 @@ class SlamEngine:
         # ── bookkeeping + reference per-scan arbitration ─────────────────
         n_ok = 0
         for j in range(n):
+            t_b = time.perf_counter()
             ok = self._bookkeep_fused(
                 chunk_s[j],
                 np.asarray(outs.pose[j]), float(outs.error[j]),
@@ -962,6 +969,7 @@ class SlamEngine:
             )
             self.prev_points = chunk_s[j]
             self.prev_rel_time = chunk_r[j]
+            self.stats.wall_bookkeep += time.perf_counter() - t_b
             n_ok += bool(ok)
             if not ok or j not in verdicts_by_j:
                 continue
@@ -985,8 +993,10 @@ class SlamEngine:
             if hit is None:
                 self.stats.wall_loop_closure += time.perf_counter() - t2
                 continue
+            t_a = time.perf_counter()
             self._lc_apply(ni, *hit)
             self._resync_state_after_lc(chunk_s[j])
+            self.stats.wall_lc_apply += time.perf_counter() - t_a
             # IMU deltas of the re-queued scans chain off the accepted node
             self._last_enq_rel = chunk_r[j]
             self.stats.wall_loop_closure += time.perf_counter() - t2
@@ -1057,6 +1067,7 @@ class SlamEngine:
                                    cr[rollback_j + 1:]))
                 if nxt is not None:
                     requeue += list(zip(nxt[0], nxt[1]))
+                self.stats.lc_requeued_scans += len(requeue)
                 self._lc_backlog[:0] = requeue
                 self._lc_inflight = None
             else:

@@ -133,14 +133,18 @@ def _scatter_dense(n, ei, ej, Hii, Hij, Hji, Hjj, bi, bj):
 
 @partial(jax.jit, static_argnames=("n_iterations",))
 def optimize_dense(nodes, node_mask, ei, ej, z, omega, edge_mask,
-                   fix_node, robust_mask=None, robust_phi=1.0, *,
+                   fix_node, robust_mask=None, robust_phi=1.0,
+                   damping=0.0, *,
                    n_iterations: int = 20, convergence_eps=1e-6):
     """Gauss-Newton with dense solve; whole loop is one XLA program.
 
     Reference: PoseGraph2D.optimize
     (/root/reference/utilities/pose_graph.py:83-134). ``robust_mask``
     flags edges for DCS reweighting (robust_omega); None/all-False keeps
-    exact reference semantics. Returns (nodes, iters_run).
+    exact reference semantics. ``damping`` > 0 switches the step to
+    Levenberg-Marquardt: (H + damping * diag(H)) dx = -b — used by the
+    divergence-guard retry ladder (see PoseGraph2D.optimize); 0 is the
+    bit-faithful reference GN step. Returns (nodes, iters_run).
     """
     n = nodes.shape[0]
     pad_diag = jnp.logical_not(node_mask)            # free padded nodes
@@ -167,6 +171,8 @@ def optimize_dense(nodes, node_mask, ei, ej, z, omega, edge_mask,
             + jnp.where(jnp.repeat(pad_diag, 3), 1.0, 0.0)
         )
         b = jnp.where(anchor_rows, 0.0, b)
+        # Levenberg-Marquardt diagonal scaling (no-op at damping == 0)
+        H = H + jnp.diag(damping * jnp.diag(H))
 
         dx = jnp.linalg.solve(H, -b)
         bad = jnp.any(jnp.isnan(dx)) | jnp.any(jnp.isinf(dx))
@@ -302,34 +308,72 @@ class PoseGraph2D:
         return nodes, node_mask, ei, ej, z, om, edge_mask, rb
 
     # ── optimisation ─────────────────────────────────────────────────────
+    # Levenberg-Marquardt retry ladder for the divergence guard: each
+    # rung re-runs the solve with (H + lambda diag(H)) dx = -b; larger
+    # lambda = shorter, more gradient-like steps (lambda -> inf recovers
+    # the untouched state, so SOME rung always stops the divergence —
+    # the question the ladder answers is how much progress survives).
+    _lm_ladder = (1e-3, 1e-1, 10.0, 1e3)
+
     def optimize(self, n_iterations=20, fix_node=0, convergence_eps=1e-6):
-        """Gauss-Newton with a DIVERGENCE GUARD: the pre-solve state is
-        snapshotted and restored if the solve leaves the graph with a
-        higher (or non-finite) total error than it started with. Plain
-        GN has no line search / trust region; on a hard graph (e.g. many
-        cross-heading closures far from linearization validity) a bad
-        step can compound over iterations into an absurd trajectory —
-        measured: a terminal BA on the self-intersecting stress route
-        exploded 0.54 m -> 8e5 m. Rejecting such a solve keeps the
-        streamed estimate, which is always a valid fallback."""
+        """Gauss-Newton with a DIVERGENCE GUARD and a damped (LM) retry:
+        the pre-solve state is snapshotted; if the plain-GN solve leaves
+        the graph with a higher (or non-finite) total error than it
+        started with, the solve is re-run from the snapshot with
+        Levenberg-Marquardt damping, escalating lambda over _lm_ladder
+        until a rung strictly DECREASES chi2. Plain GN has no line
+        search / trust region; on a hard graph (e.g. many cross-heading
+        closures far from linearization validity) a bad step can
+        compound over iterations into an absurd trajectory — measured: a
+        terminal BA on the self-intersecting stress route exploded
+        0.54 m -> 8e5 m, and the round-4 reject-only guard then threw
+        away a solve a damped retry lands. Only if NO rung improves is
+        the solve rejected outright (streamed estimate kept). Plain GN
+        that already descends never sees damping, so reference parity
+        (/root/reference/utilities/pose_graph.py:92-127) is untouched."""
         if self.n_nodes < 2 or self.n_edges == 0:
             return
         before = self.total_error()
         snapshot = [v.copy() for v in self._nodes]
         self._optimize_inner(n_iterations, fix_node, convergence_eps)
         after = self.total_error()
-        if (not np.isfinite(after)) or after > before * 1.5 + 1e-6:
-            self._nodes = snapshot
-            self.last_strategy = f"{self.last_strategy}+rejected"
-            print(f"  [warn] pose-graph solve rejected (chi2 "
-                  f"{before:.3g} -> {after:.3g}); keeping prior estimate")
+        if np.isfinite(after) and after <= before * 1.5 + 1e-6:
+            return
+        diverged_to = after
+        best_after = np.inf
+        best_nodes = None
+        best_lam = None
+        for lam in self._lm_ladder:
+            self._nodes = [v.copy() for v in snapshot]
+            self._optimize_inner(n_iterations, fix_node, convergence_eps,
+                                 damping=lam)
+            after = self.total_error()
+            if np.isfinite(after) and after < best_after:
+                best_after = after
+                best_nodes = [v.copy() for v in self._nodes]
+                best_lam = lam
+            if np.isfinite(after) and after < before - 1e-12:
+                break                       # this rung descends; take it
+        if best_nodes is not None and best_after < before - 1e-12:
+            self._nodes = best_nodes
+            self.last_strategy = f"{self.last_strategy}+lm({best_lam:g})"
+            print(f"  [info] GN diverged (chi2 {before:.3g} -> "
+                  f"{diverged_to:.3g}); LM retry lambda={best_lam:g} "
+                  f"accepted (chi2 -> {best_after:.3g})")
+            return
+        self._nodes = snapshot
+        self.last_strategy = f"{self.last_strategy}+rejected"
+        print(f"  [warn] pose-graph solve rejected (chi2 "
+              f"{before:.3g} -> {diverged_to:.3g}; best damped retry "
+              f"{best_after:.3g}); keeping prior estimate")
 
-    def _optimize_inner(self, n_iterations, fix_node, convergence_eps):
+    def _optimize_inner(self, n_iterations, fix_node, convergence_eps,
+                        damping=0.0):
         if (self._mesh is not None
                 and self._mesh.devices.size > 1
                 and self.n_nodes >= self._dist_threshold):
             return self._optimize_distributed(
-                n_iterations, fix_node, convergence_eps
+                n_iterations, fix_node, convergence_eps, damping
             )
         if self.n_nodes >= self._cg_node_threshold:
             # dense 3n x 3n assembly + solve is O(n^2) memory / O(n^3)
@@ -337,7 +381,8 @@ class PoseGraph2D:
             # PCG on a 1-device mesh reuses the sharded formulation
             # without collectives.
             return self._optimize_cg(n_iterations, fix_node,
-                                     convergence_eps, mesh=None)
+                                     convergence_eps, mesh=None,
+                                     damping=damping)
         self.last_strategy = "dense"
         nodes, node_mask, ei, ej, z, om, edge_mask, rb = self._packed()
         out, _ = optimize_dense(
@@ -346,6 +391,7 @@ class PoseGraph2D:
             jnp.asarray(om), jnp.asarray(edge_mask),
             jnp.int32(fix_node),
             jnp.asarray(rb), jnp.float32(self.robust_phi),
+            jnp.float32(damping),
             n_iterations=int(n_iterations),
             convergence_eps=convergence_eps,
         )
@@ -487,7 +533,7 @@ class PoseGraph2D:
     _coarse_threshold = 5000
 
     def _optimize_cg(self, n_iterations, fix_node, convergence_eps,
-                     mesh=None):
+                     mesh=None, damping=0.0):
         """Matrix-free block-Jacobi PCG Gauss-Newton (single- or multi-
         device) — the O(edges)-memory path for graphs past the dense/Schur
         regimes. Above _coarse_threshold nodes a hierarchical coarse
@@ -497,7 +543,10 @@ class PoseGraph2D:
         if mesh is None:
             from icp_tpu.parallel.mesh import make_mesh
             mesh = make_mesh(1)
-        if self.n_nodes >= self._coarse_threshold:
+        if self.n_nodes >= self._coarse_threshold and damping == 0.0:
+            # the coarse init moves the state before the damped polish;
+            # on an LM retry (damping > 0) skip it so the ladder damps
+            # the WHOLE correction, not just the fine level
             stride = max(2, self.n_nodes // 1000)
             self._coarse_correct(int(fix_node), stride)
         self.last_strategy = "cg" if int(mesh.devices.size) == 1 else \
@@ -508,12 +557,14 @@ class PoseGraph2D:
             ei, ej, z, om, edge_mask, int(fix_node),
             n_iterations=int(n_iterations), convergence_eps=convergence_eps,
             robust_mask=rb, robust_phi=self.robust_phi,
+            damping=damping,
         )
         out = np.asarray(out)
         for k in range(self.n_nodes):
             self._nodes[k] = out[k]
 
-    def _optimize_distributed(self, n_iterations, fix_node, convergence_eps):
+    def _optimize_distributed(self, n_iterations, fix_node, convergence_eps,
+                              damping=0.0):
         """Distributed GN sharded over the mesh — the scale path replacing
         the reference's dense O(n^3) solve
         (/root/reference/utilities/pose_graph.py:83-134).
@@ -540,12 +591,13 @@ class PoseGraph2D:
                 cg_node_threshold=self._cg_node_threshold,
                 dense_budget=self._schur_dense_budget):
             return self._optimize_cg(n_iterations, fix_node,
-                                     convergence_eps, mesh=self._mesh)
+                                     convergence_eps, mesh=self._mesh,
+                                     damping=damping)
         self.last_strategy = "schur"
         out, _ = optimize_schur(
             self._mesh, jnp.asarray(nodes), jnp.asarray(node_mask), part,
             n_iterations=int(n_iterations), convergence_eps=convergence_eps,
-            robust_phi=self.robust_phi,
+            robust_phi=self.robust_phi, damping=damping,
         )
         out = np.asarray(out)
         for k in range(self.n_nodes):

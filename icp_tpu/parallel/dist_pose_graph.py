@@ -108,12 +108,14 @@ def _inv3x3(M):
 
 def gn_step_cg_sharded(mesh: Mesh, nodes, node_mask, ei, ej, z, omega,
                        edge_mask, fix_node, robust_mask=None,
-                       robust_phi=1.0, *, axis: str = "d",
+                       robust_phi=1.0, damping=0.0, *, axis: str = "d",
                        cg_iters: int = 50, cg_tol=1e-8):
     """One matrix-free GN step: block-Jacobi preconditioned CG over
     psum-combined edge shards. Never forms H. ``robust_mask`` flags edges
-    for DCS reweighting (models.pose_graph.robust_omega). Returns updated
-    nodes."""
+    for DCS reweighting (models.pose_graph.robust_omega). ``damping`` > 0
+    is the Levenberg-Marquardt diagonal scaling (H + damping diag(H)),
+    applied matrix-free inside Hx and to the preconditioner blocks; 0 is
+    plain GN. Returns updated nodes."""
     n = nodes.shape[0]
     if robust_mask is None:
         robust_mask = jnp.zeros(ei.shape[0], bool)
@@ -121,10 +123,10 @@ def gn_step_cg_sharded(mesh: Mesh, nodes, node_mask, ei, ej, z, omega,
     @partial(
         shard_map, mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P(axis), P(), P()),
+                  P(axis), P(), P(), P()),
         out_specs=P(),
     )
-    def _step(nd, nm, lei, lej, lz, lom, lem, lrb, rphi, fix):
+    def _step(nd, nm, lei, lej, lz, lom, lem, lrb, rphi, damp, fix):
         e, A, B = edge_terms(nd, lei, lej, lz, lom, lem)
         lom = robust_omega(e, lom, lrb, rphi)
         w = lem.astype(e.dtype)[:, None, None]
@@ -147,7 +149,11 @@ def gn_step_cg_sharded(mesh: Mesh, nodes, node_mask, ei, ej, z, omega,
         Dblk = Dblk.at[lej].add(jnp.einsum("ejk,ekl->ejl", BtO, B))
         Dblk = lax.psum(Dblk, axis)
         Dblk = Dblk + jnp.eye(3, dtype=e.dtype) * 1e-8
-        Minv = _inv3x3(Dblk)
+        # LM diagonal (H's per-coordinate diagonal = Dblk's): damp both
+        # the operator (matrix-free, below) and the preconditioner blocks
+        dvec = jnp.diagonal(Dblk, axis1=-2, axis2=-1)          # (n, 3)
+        Minv = _inv3x3(Dblk + damp * dvec[:, :, None] * jnp.eye(3,
+                                                               dtype=e.dtype))
 
         # Hx product without materializing H: per edge, s = A x_i + B x_j,
         # then y_i += A^T om s and y_j += B^T om s, psum across shards.
@@ -160,6 +166,7 @@ def gn_step_cg_sharded(mesh: Mesh, nodes, node_mask, ei, ej, z, omega,
             y = y.at[lei].add(jnp.einsum("ekj,ek->ej", A, oms))
             y = y.at[lej].add(jnp.einsum("ekj,ek->ej", B, oms))
             y = lax.psum(y, axis)
+            y = y + damp * dvec * xp       # (H + damp diag(H)) x
             return jnp.where(free[:, None], y, 0.0)
 
         def precond(r):
@@ -192,7 +199,8 @@ def gn_step_cg_sharded(mesh: Mesh, nodes, node_mask, ei, ej, z, omega,
         return _apply_update(nd, nm, dx)
 
     return _step(nodes, node_mask, ei, ej, z, omega, edge_mask,
-                 robust_mask, jnp.float32(robust_phi), fix_node)
+                 robust_mask, jnp.float32(robust_phi),
+                 jnp.float32(damping), fix_node)
 
 
 class SchurPartition(NamedTuple):
@@ -303,8 +311,8 @@ def partition_graph(n: int, ei, ej, z, omega, edge_mask, n_dev: int,
 
 
 def gn_step_schur_sharded(mesh: Mesh, nodes, node_mask,
-                          part: SchurPartition, robust_phi=1.0, *,
-                          axis: str = "d"):
+                          part: SchurPartition, robust_phi=1.0,
+                          damping=0.0, *, axis: str = "d"):
     """One EXACT GN step via distributed Schur-complement reduction.
 
     Per device: assemble the local (interior + separator) normal-equation
@@ -327,11 +335,11 @@ def gn_step_schur_sharded(mesh: Mesh, nodes, node_mask,
         in_specs=(P(), P(),
                   P(axis), P(axis), P(), P(),
                   P(axis), P(axis), P(axis), P(axis),
-                  P(axis), P(axis), P(axis), P(axis), P()),
+                  P(axis), P(axis), P(axis), P(axis), P(), P()),
         out_specs=P(),
     )
     def _step(nd, nm, int_ids, int_valid, sep_ids, sep_valid,
-              lei, lej, lei_loc, lej_loc, lz, lom, lem, lrb, rphi):
+              lei, lej, lei_loc, lej_loc, lz, lom, lem, lrb, rphi, damp):
         int_ids, int_valid = int_ids[0], int_valid[0]
         lei, lej = lei[0], lej[0]
         lei_loc, lej_loc = lei_loc[0], lej_loc[0]
@@ -348,6 +356,10 @@ def gn_step_schur_sharded(mesh: Mesh, nodes, node_mask,
         int_reg = jnp.logical_not(int_valid & nm_pad[int_ids])
         diag = jnp.zeros(3 * nl, H.dtype).at[:k].set(jnp.repeat(int_reg, 3))
         H = H + jnp.diag(diag)
+        # LM diagonal scaling: interior diagonals are complete locally;
+        # the separator block's partial diagonals sum to the global one
+        # under the psum below, so local damp * diag(H) is globally exact
+        H = H + jnp.diag(damp * jnp.diag(H))
 
         H_II = H[:k, :k]
         H_IS = H[:k, k:]
@@ -392,29 +404,29 @@ def gn_step_schur_sharded(mesh: Mesh, nodes, node_mask,
                  jnp.asarray(part.lei_loc), jnp.asarray(part.lej_loc),
                  jnp.asarray(part.z), jnp.asarray(part.omega),
                  jnp.asarray(part.edge_mask), jnp.asarray(part.robust),
-                 jnp.float32(robust_phi))
+                 jnp.float32(robust_phi), jnp.float32(damping))
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis"))
-def _schur_step_cached(mesh, nodes, node_mask, part, robust_phi=1.0, *,
-                       axis="d"):
+def _schur_step_cached(mesh, nodes, node_mask, part, robust_phi=1.0,
+                       damping=0.0, *, axis="d"):
     """Module-level jit of the Schur GN step: the partition arrays are
     ARGUMENTS (not closure constants), and partition_graph buckets its
     capacities to powers of two — so repeated optimize calls on a
     growing graph reuse compiled programs instead of re-tracing every
     online-BA invocation."""
     return gn_step_schur_sharded(mesh, nodes, node_mask, part, robust_phi,
-                                 axis=axis)
+                                 damping, axis=axis)
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis", "cg_iters"))
 def _cg_step_cached(mesh, nodes, node_mask, ei, ej, z, omega, edge_mask,
-                    fix_node, robust_mask=None, robust_phi=1.0, *,
-                    axis="d", cg_iters=100):
+                    fix_node, robust_mask=None, robust_phi=1.0,
+                    damping=0.0, *, axis="d", cg_iters=100):
     """Module-level jit of the PCG GN step (see _schur_step_cached)."""
     return gn_step_cg_sharded(mesh, nodes, node_mask, ei, ej, z, omega,
                               edge_mask, fix_node, robust_mask, robust_phi,
-                              axis=axis, cg_iters=cg_iters)
+                              damping, axis=axis, cg_iters=cg_iters)
 
 
 def schur_within_limits(part: SchurPartition, *, max_separators: int,
@@ -437,7 +449,8 @@ def schur_within_limits(part: SchurPartition, *, max_separators: int,
 def optimize_cg(mesh: Mesh, nodes, node_mask, ei, ej, z, omega, edge_mask,
                 fix_node: int = 0, *, n_iterations: int = 20,
                 convergence_eps=1e-6, cg_iters: int = 100, axis: str = "d",
-                robust_mask=None, robust_phi: float = 1.0):
+                robust_mask=None, robust_phi: float = 1.0,
+                damping: float = 0.0):
     """Full Gauss-Newton via the matrix-free PCG step — the scale path
     when the Schur reduction stops being cheap (separator blowup from
     dense closure clusters, or interiors too large to factor densely:
@@ -470,7 +483,8 @@ def optimize_cg(mesh: Mesh, nodes, node_mask, ei, ej, z, omega, edge_mask,
     rb = jnp.asarray(robust_mask)
     step = lambda nd, nm: _cg_step_cached(
         mesh, nd, nm, *args, jnp.int32(fix_node), rb,
-        jnp.float32(robust_phi), axis=axis, cg_iters=cg_iters)
+        jnp.float32(robust_phi), jnp.float32(damping),
+        axis=axis, cg_iters=cg_iters)
     it = 0
     for it in range(1, n_iterations + 1):
         new = step(nodes, node_mask)
@@ -484,7 +498,8 @@ def optimize_cg(mesh: Mesh, nodes, node_mask, ei, ej, z, omega, edge_mask,
 
 def optimize_schur(mesh: Mesh, nodes, node_mask, part: SchurPartition, *,
                    n_iterations: int = 20, convergence_eps=1e-6,
-                   axis: str = "d", robust_phi: float = 1.0):
+                   axis: str = "d", robust_phi: float = 1.0,
+                   damping: float = 0.0):
     """Full Gauss-Newton optimize via the distributed Schur step.
 
     The partition depends only on graph TOPOLOGY (edges/chunks), not poses,
@@ -495,6 +510,7 @@ def optimize_schur(mesh: Mesh, nodes, node_mask, part: SchurPartition, *,
     """
     step = lambda nd, nm: _schur_step_cached(mesh, nd, nm, part,
                                              jnp.float32(robust_phi),
+                                             jnp.float32(damping),
                                              axis=axis)
     it = 0
     for it in range(1, n_iterations + 1):

@@ -80,6 +80,7 @@ class ScaledStats:
     wall_lc: float = 0.0
     wall_ba: float = 0.0
     wall_replay: float = 0.0
+    wall_replay_fill: float = 0.0  # host chunk assembly inside ^
     ba_iterations: int = 0
     partition_wall: float = 0.0    # host time in partition_graph (Schur)
 
@@ -166,7 +167,7 @@ class ScaledPipeline:
                  lc_cooldown: int = 0,
                  ba_every: int = 1,
                  ba_iterations: int = 10,
-                 replay_chunk: int = 8,
+                 replay_chunk: int = 32,
                  dist_node_threshold: int = 2):
         self.mesh = mesh
         self.cap = int(scan_capacity)
@@ -229,7 +230,7 @@ class ScaledPipeline:
         _iters = int(lc_iterations)
         _sweep_voxel = max(2.0 * self.kf_voxel, 0.5)
 
-        def _lc_verify_one(ap, am, bp, bm, R0, t0):
+        def _lc_verify_one(ap, am, bp, bm):
             Rs, ts, _ = rotation_search(
                 ap, am, bp, bm, voxel_size=_sweep_voxel,
                 angle_step_coarse=3.0, angle_step_fine=0.5)
@@ -255,12 +256,11 @@ class ScaledPipeline:
             r2 = r2._replace(iters=r1.iters + r2.iters)
             return r2, ierr, frac
 
-        self._lc_verify = jax.jit(_lc_verify_one)
         # candidate axis vmapped: the reference verifies its sorted
         # candidates one by one (slam.py:575-579); here all lanes run in
         # one dispatch and the caller applies the same accept-first rule
         self._lc_verify_batch = jax.jit(jax.vmap(
-            _lc_verify_one, in_axes=(None, None, 0, 0, 0, 0)))
+            _lc_verify_one, in_axes=(None, None, 0, 0)))
 
         self._icp_kw = dict(
             max_corr_dist=float(icp_max_corr),
@@ -808,25 +808,16 @@ class ScaledPipeline:
         ap, am = pad_points(self.kf_points[cur_idx], self.kf_cap)
         bp = np.zeros((K, self.kf_cap, 2), np.float32)
         bm = np.zeros((K, self.kf_cap), bool)
-        R0 = np.zeros((K, 2, 2), np.float32)
-        t0_ = np.zeros((K, 2), np.float32)
         for k in range(K):
             # unused lanes repeat the last candidate (they converge and
             # are ignored — all-False lanes would spin to max_iters)
             c = cands[min(k, len(cands) - 1)]
             p, m = pad_points(self.kf_points[c], self.kf_cap)
             bp[k], bm[k] = p, m
-            # init from the estimated relative pose: its residual is
-            # exactly the accumulated loop drift, which the coarse gate
-            # must cover
-            T_init = _inv(self.trajectory[c]) @ self.trajectory[cur_idx]
-            R0[k] = T_init[:2, :2]
-            t0_[k] = T_init[:2, 2]
 
         res, ierr, frac = self._lc_verify_batch(
             jnp.asarray(ap), jnp.asarray(am),
-            jnp.asarray(bp), jnp.asarray(bm),
-            jnp.asarray(R0), jnp.asarray(t0_))
+            jnp.asarray(bp), jnp.asarray(bm))
         ierr = np.asarray(ierr)
         frac = np.asarray(frac)
         Rs = np.asarray(res.R)
@@ -896,25 +887,54 @@ class ScaledPipeline:
         self.stats.wall_ba += time.perf_counter() - t0
         self.sync_map()
 
+    def warm_replay(self):
+        """AOT-warm the post-BA replay program on a throwaway grid.
+
+        The replay kernel's first invocation otherwise lands INSIDE the
+        first sync_map after BA — measured 36.8 s of compile on the
+        remote-TPU backend vs ~2 ms steady-state per chunk, which
+        round 4 mis-attributed to repaint cost (wall_replay 118 s at
+        50k keyframes; the actual repaint is ~0.26 ms/keyframe).
+        Callers that will optimize (bench harnesses, cli --scaled) warm
+        here, next to the rest of their compile warm-up."""
+        C = self.replay_chunk
+        zeros_grid = jax.device_put(
+            jnp.zeros((self.ny, self.nx), jnp.float32),
+            block_sharding(self.mesh))
+        out = self._replay(
+            zeros_grid,
+            jnp.zeros((C, self.kf_cap, 2), jnp.float32),
+            jnp.zeros((C, self.kf_cap), bool),
+            jnp.tile(jnp.eye(2, dtype=jnp.float32), (C, 1, 1)),
+            jnp.zeros((C, 2), jnp.float32), jnp.float32(1.0))
+        jax.block_until_ready(out)
+
     def _replay_set(self, idxs, poses, sign: float):
         """Paint (sign=+1) or un-paint (sign=-1) the given keyframes at
-        the given poses, in replay_chunk-sized batched dispatches."""
+        the given poses, in replay_chunk-sized batched dispatches.
+        Host-side chunk assembly time is tracked separately
+        (stats.wall_replay_fill) from the dispatch+device time so the
+        replay wall is attributable."""
         C = self.replay_chunk
+        sign_dev = jnp.float32(sign)
         for c0 in range(0, len(idxs), C):
+            tf = time.perf_counter()
             group = idxs[c0:c0 + C]
             pts = np.zeros((C, self.kf_cap, 2), np.float32)
             msk = np.zeros((C, self.kf_cap), bool)
             Rs = np.tile(np.eye(2, dtype=np.float32), (C, 1, 1))
             ts = np.zeros((C, 2), np.float32)
             for k, gi in enumerate(group):
-                p, m = pad_points(self.kf_points[gi], self.kf_cap)
-                pts[k], msk[k] = p, m
+                kf = self.kf_points[gi]
+                pts[k, :len(kf)] = kf
+                msk[k, :len(kf)] = True
                 T = poses[gi]
                 Rs[k] = T[:2, :2]
                 ts[k] = T[:2, 2]
+            self.stats.wall_replay_fill += time.perf_counter() - tf
             self.log_odds = self._replay(
                 self.log_odds, jnp.asarray(pts), jnp.asarray(msk),
-                jnp.asarray(Rs), jnp.asarray(ts), jnp.float32(sign))
+                jnp.asarray(Rs), jnp.asarray(ts), sign_dev)
 
     def sync_map(self):
         """Bring the block-sharded grid in line with the corrected

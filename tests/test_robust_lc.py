@@ -109,16 +109,70 @@ def test_robust_matches_across_strategies(strategy):
 
 def test_optimize_divergence_guard():
     """A solve that leaves the graph WORSE than it started (or
-    non-finite) must be rejected wholesale — the streamed estimate is
-    always a valid fallback (round-4 guard; the stress-route terminal BA
-    exploded 0.54 m -> 8e5 m without it)."""
+    non-finite) must be rejected wholesale when even the damped retries
+    fail — the streamed estimate is always a valid fallback (round-4
+    guard; the stress-route terminal BA exploded 0.54 m -> 8e5 m
+    without it)."""
     pg = _chain_graph(n=10, robust_flag=False, bad_weight=1.0)
     before_nodes = np.stack(pg.nodes)
 
-    def corrupt(n_iterations, fix_node, convergence_eps):
+    def corrupt(n_iterations, fix_node, convergence_eps, damping=0.0):
         for k in range(pg.n_nodes):
             pg._nodes[k] = pg._nodes[k] + 1e6
     pg._optimize_inner = corrupt
     pg.optimize(n_iterations=5)
     assert pg.last_strategy is None or "rejected" in str(pg.last_strategy)
     np.testing.assert_allclose(np.stack(pg.nodes), before_nodes)
+
+
+def test_optimize_divergence_guard_lm_retry():
+    """When plain GN diverges but a damped solve descends, the guard must
+    ACCEPT the Levenberg-Marquardt retry instead of discarding the whole
+    solve (round-5: the reject-only guard threw away the stress route's
+    terminal BA that an LM retry lands). Simulated by an inner solve that
+    corrupts at damping == 0 and takes a real improving step otherwise."""
+    pg = _chain_graph(n=10, robust_flag=False, bad_weight=100.0)
+    before = pg.total_error()
+    real_inner = pg._optimize_inner
+
+    calls = []
+
+    def flaky(n_iterations, fix_node, convergence_eps, damping=0.0):
+        calls.append(damping)
+        if damping == 0.0:
+            for k in range(pg.n_nodes):
+                pg._nodes[k] = pg._nodes[k] + 1e6   # divergent plain GN
+        else:
+            real_inner(n_iterations, fix_node, convergence_eps,
+                       damping=damping)
+    pg._optimize_inner = flaky
+    pg.optimize(n_iterations=10)
+    after = pg.total_error()
+    assert "+lm(" in str(pg.last_strategy), pg.last_strategy
+    assert np.isfinite(after) and after < before   # chi2 DECREASED
+    assert calls[0] == 0.0 and len(calls) >= 2     # retried with damping
+
+
+def test_optimize_dense_lm_damping_descends():
+    """The damped dense step must still descend on a normal graph and at
+    damping=0 must equal the plain GN solve bit-for-bit (reference
+    parity, /root/reference/utilities/pose_graph.py:92-127)."""
+    from icp_tpu.models.pose_graph import optimize_dense
+
+    pg = _chain_graph(n=12, robust_flag=False, bad_weight=100.0)
+    nodes, nm, ei, ej, z, om, em, rb = pg._packed()
+    args = (jnp.asarray(nodes), jnp.asarray(nm), jnp.asarray(ei),
+            jnp.asarray(ej), jnp.asarray(z), jnp.asarray(om),
+            jnp.asarray(em), jnp.int32(0), jnp.asarray(rb),
+            jnp.float32(1.0))
+    out0, _ = optimize_dense(*args, n_iterations=10)
+    out0_explicit, _ = optimize_dense(*args, jnp.float32(0.0),
+                                      n_iterations=10)
+    np.testing.assert_array_equal(np.asarray(out0),
+                                  np.asarray(out0_explicit))
+
+    out_lm, _ = optimize_dense(*args, jnp.float32(0.1), n_iterations=10)
+    from icp_tpu.models.pose_graph import total_error
+    err_before = float(total_error(args[0], *args[2:7]))
+    err_lm = float(total_error(jnp.asarray(out_lm), *args[2:7]))
+    assert err_lm < err_before

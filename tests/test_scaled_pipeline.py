@@ -149,10 +149,11 @@ def test_online_ba_repaints_and_corrects(scans):
 
 def test_lc_verify_partial_overlap():
     """The scaled LC verifier must (a) recover a known transform between
-    two PARTIALLY overlapping keyframes from a drifted init, scoring the
-    gated inliers (the all-points mean can't pass any threshold when the
-    non-overlap region dominates), and (b) reject non-overlapping junk
-    via the inlier fraction. World density matches the bench arena
+    two PARTIALLY overlapping keyframes with NO pose init (the verify is
+    global-rotation-search-initialized, so drift cannot bias it), scoring
+    the gated inliers (the all-points mean can't pass any threshold when
+    the non-overlap region dominates), and (b) reject non-overlapping
+    junk via the inlier fraction. World density matches the bench arena
     (~17 walls within sensor range)."""
     import jax.numpy as jnp
     from icp_tpu.utils.masking import pad_points
@@ -176,28 +177,23 @@ def test_lc_verify_partial_overlap():
     b = kf_at(np.array([-2.0, 0.0]))
     ap, am = pad_points(a, pipe.kf_cap)
     bp, bm = pad_points(b, pipe.kf_cap)
-    # drifted init: 1.2 m + 4 deg off the truth
-    th = np.deg2rad(4.0)
-    R0 = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]],
-                  np.float32)
-    t0 = np.array([4.0 + 1.2, 0.4], np.float32)
-    res, ierr, frac = pipe._lc_verify(
-        jnp.asarray(ap), jnp.asarray(am), jnp.asarray(bp), jnp.asarray(bm),
-        jnp.asarray(R0), jnp.asarray(t0))
-    assert float(frac) > 0.5
-    assert float(ierr) < pipe.lc_error_threshold
-    np.testing.assert_allclose(np.asarray(res.t), [4.0, 0.0], atol=0.2)
-    got_th = float(np.arctan2(np.asarray(res.R)[1, 0],
-                              np.asarray(res.R)[0, 0]))
+    res, ierr, frac = pipe._lc_verify_batch(
+        jnp.asarray(ap), jnp.asarray(am),
+        jnp.asarray(bp)[None], jnp.asarray(bm)[None])
+    assert float(frac[0]) > 0.5
+    assert float(ierr[0]) < pipe.lc_error_threshold
+    np.testing.assert_allclose(np.asarray(res.t)[0], [4.0, 0.0], atol=0.2)
+    got_th = float(np.arctan2(np.asarray(res.R)[0, 1, 0],
+                              np.asarray(res.R)[0, 0, 0]))
     assert abs(got_th) < np.deg2rad(2.0)
 
     # junk: disjoint cloud -> tiny inlier fraction, rejected
     c = (rng.uniform(-1, 1, (1000, 2)) + 50.0).astype(np.float32)
     cp, cm = pad_points(c, pipe.kf_cap)
-    _, _, frac_junk = pipe._lc_verify(
-        jnp.asarray(ap), jnp.asarray(am), jnp.asarray(cp), jnp.asarray(cm),
-        jnp.eye(2, dtype=jnp.float32), jnp.zeros(2, jnp.float32))
-    assert float(frac_junk) < 0.5
+    _, _, frac_junk = pipe._lc_verify_batch(
+        jnp.asarray(ap), jnp.asarray(am),
+        jnp.asarray(cp)[None], jnp.asarray(cm)[None])
+    assert float(frac_junk[0]) < 0.5
 
 
 def test_scaled_checkpoint_resume(scans, tmp_path):
