@@ -259,9 +259,18 @@ def raytrace_update_batched(
     grid is ~6x padding, and multi-operand sorts / scans over it dominate
     the whole SLAM step. So:
 
-    * ``scan_cap``: each scan's cells are first compacted by a per-scan
-      (B, S*N) sort sliced to scan_cap — the dedup then runs on
-      B*scan_cap ~= 3x fewer elements;
+    * ``scan_cap``: each scan's cells are first compacted to scan_cap
+      slots by a PREFIX GATHER — the dedup then runs on B*scan_cap ~= 3x
+      fewer elements. Bresenham actives are a step-prefix of every ray
+      (``active = s < M``), and the in-bounds mask keeps them a prefix
+      for any in-grid origin (a straight ray leaves the convex grid
+      once), so per-ray counts + an exclusive cumsum + one batched
+      searchsorted locate every active cell's (ray, step) without
+      sorting the padded (B, S*N) grid at all (that sort was the single
+      largest device block of the whole fused step — 0.56 ms/scan,
+      BENCHMARKS.md round-4 trace). Prefix-ness is asserted in-graph
+      and any violation (out-of-grid origin) falls back to the exact
+      full scatter;
     * run lengths come from POSITION DIFFERENCES of compacted segment
       starts, not from a (key, count) pair sort + reverse cummin: two
       single-key sorts (segment-start positions; unique keys) replace the
@@ -290,26 +299,43 @@ def raytrace_update_batched(
     x, y, active = jax.vmap(
         lambda o, h, v: bresenham_cells_xy(o, h, v, max_steps=max_steps)
     )(origin_cells, hit_cells, valid)
-    B = x.shape[0]
-    fx = x.reshape(B, -1)
-    fy = y.reshape(B, -1)
-    act = (active.reshape(B, -1) & (fx >= 0) & (fx < nx)
-           & (fy >= 0) & (fy < ny))
-    key_bn = jnp.where(act, fy * nx + fx, n_flat).astype(jnp.int32)
-    key_flat = key_bn.reshape(-1)
+    B, S, N = x.shape
+    inb = (active & (x >= 0) & (x < nx) & (y >= 0) & (y < ny))  # (B, S, N)
+    key_bsn = jnp.where(inb, y * nx + x, n_flat).astype(jnp.int32)
+    key_flat = key_bsn.reshape(-1)
 
     if unique_cap is None or unique_cap >= key_flat.size:
         flat = flat.at[key_flat].add(
             jnp.where(key_flat < n_flat, l_miss, 0.0), mode="drop")
         return jnp.clip(flat.reshape(ny, nx), lo_min, lo_max)
 
-    per_scan_act = jnp.sum(act, axis=1)
+    c = jnp.sum(inb, axis=1, dtype=jnp.int32)            # (B, N) per ray
+    per_scan_act = jnp.sum(c, axis=1)                    # (B,)
     n_act = jnp.sum(per_scan_act).astype(jnp.int32)
-    if scan_cap is not None and scan_cap < key_bn.shape[1]:
-        # stage 1: per-scan compaction (sentinels sort last, slice them off)
-        overflow1 = jnp.any(per_scan_act > scan_cap)
-        key = lax.sort(key_bn, dimension=1,
-                       is_stable=False)[:, :scan_cap].reshape(-1)
+    if scan_cap is not None and scan_cap < S * N:
+        # stage 1: prefix-gather compaction — NO sort of the padded grid.
+        # Actives are a step-prefix of each ray (see docstring); any
+        # violation routes to the exact full scatter via overflow1.
+        s_iota = lax.broadcasted_iota(jnp.int32, (B, S, N), 1)
+        prefix_ok = jnp.all(inb == (s_iota < c[:, None, :]))
+        overflow1 = jnp.any(per_scan_act > scan_cap) | ~prefix_ok
+        o_incl = jnp.cumsum(c, axis=1, dtype=jnp.int32)  # (B, N)
+        q = jnp.arange(scan_cap, dtype=jnp.int32)
+        r = jax.vmap(
+            lambda o: jnp.searchsorted(o, q, side="right")
+        )(o_incl).astype(jnp.int32)                      # (B, scan_cap)
+        o_excl = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), o_incl[:, :-1]], axis=1)
+        rc = jnp.minimum(r, N - 1)
+        t = jnp.clip(q[None, :] - jnp.take_along_axis(o_excl, rc, axis=1),
+                     0, S - 1)
+        slot_ok = q[None, :] < per_scan_act[:, None]
+        kf = key_bsn.reshape(B, S * N)                   # index = s*N + n
+        key = jnp.where(
+            slot_ok,
+            jnp.take_along_axis(kf, t * N + rc, axis=1),
+            jnp.int32(n_flat),
+        ).reshape(-1)
     else:
         overflow1 = jnp.bool_(False)
         key = key_flat

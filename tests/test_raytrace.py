@@ -233,6 +233,32 @@ def test_raytrace_batched_matches_sequential():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_raytrace_batched_out_of_grid_origin():
+    """An out-of-grid origin breaks the step-prefix property the stage-1
+    gather compaction relies on (the ray starts outside, enters, exits) —
+    the in-graph prefix assert must route that batch to the exact full
+    scatter, still matching the sequential result."""
+    from icp_tpu.ops.raytrace import raytrace_update, raytrace_update_batched
+    rng = np.random.default_rng(7)
+    ny, nx = 64, 64
+    B, N = 3, 32
+    grid0 = jnp.asarray(rng.normal(0, 0.2, (ny, nx)), jnp.float32)
+    origins = jnp.asarray([[-20, 30], [30, 30], [90, -5]], jnp.int32)
+    hits = jnp.asarray(rng.integers(-20, 90, (B, N, 2)), jnp.int32)
+    valid = jnp.asarray(rng.random((B, N)) > 0.1)
+    args = (jnp.float32(0.85), jnp.float32(-0.4),
+            jnp.float32(-1e6), jnp.float32(1e6))
+    seq = grid0
+    for b in range(B):
+        seq = raytrace_update(seq, origins[b], hits[b], valid[b], *args,
+                              max_steps=192)
+    got = raytrace_update_batched(grid0, origins, hits, valid, *args,
+                                  max_steps=192, unique_cap=2048,
+                                  scan_cap=1024)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(seq),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_raytrace_batched_clamps():
     from icp_tpu.ops.raytrace import raytrace_update_batched
     ny, nx = 32, 32

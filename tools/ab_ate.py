@@ -76,7 +76,12 @@ def main():
     n_scans = int(os.environ.get("AB_SCANS", len(scans)))
     scans, rels = scans[:n_scans], rels[:n_scans]
     gt = np.load("data/bench_gt.npy")
-    imu = IMUService("data/bench_imu.csv")
+    # AB_IMU=0 reproduces bench_suite's features row, which runs BOTH
+    # modes IMU-less so the prealigner does all the rotation work
+    imu = (IMUService("data/bench_imu.csv")
+           if os.environ.get("AB_IMU", "1") == "1" else None)
+    if imu is None:
+        cfg.imu_enabled = False
 
     t0 = time.perf_counter()
     eng = SlamEngine(cfg, imu=imu, verbose=False)
