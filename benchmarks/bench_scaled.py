@@ -87,7 +87,7 @@ def main():
         lc_robust=bool(int(os.environ.get("BENCH_SCALED_LC_ROBUST", 1))),
         lc_cooldown=int(os.environ.get("BENCH_SCALED_LC_COOLDOWN", 25)),
         ba_iterations=int(os.environ.get("BENCH_SCALED_BA_ITERS", 10)),
-        replay_chunk=int(os.environ.get("BENCH_SCALED_REPLAY_CHUNK", 32)),
+        replay_chunk=int(os.environ.get("BENCH_SCALED_REPLAY_CHUNK", 64)),
         dist_node_threshold=2,
     )
     # compile the post-BA replay program OUTSIDE the timed regions (it

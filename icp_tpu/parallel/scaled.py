@@ -167,7 +167,7 @@ class ScaledPipeline:
                  lc_cooldown: int = 0,
                  ba_every: int = 1,
                  ba_iterations: int = 10,
-                 replay_chunk: int = 32,
+                 replay_chunk: int = 64,
                  dist_node_threshold: int = 2):
         self.mesh = mesh
         self.cap = int(scan_capacity)
@@ -323,6 +323,7 @@ class ScaledPipeline:
         # opposite-sign updates — and the map never feeds registration
         # (same accepted deviation as the engine's batched paint).
         INF = float(np.inf)
+        replay_cap = min(4 * self.free_unique_cap, (self.ny // D) * self.nx)
 
         @jax.jit
         def _paint(grid, pts, mask, R, t):
@@ -370,11 +371,18 @@ class ScaledPipeline:
                 (ts - jnp.asarray([minx, miny])) * inv_res).astype(jnp.int32)
             ray_cells = hit_cells[:, ::stride]
             ray_valid = kf_mask[:, ::stride]
+            # dedup caps: a chunk's consecutive keyframes overlap almost
+            # entirely, so its unique-cell set is ~one sensor disc with
+            # margin (4x the per-scan cap; in-graph exact fallback on
+            # overflow). Without this the raw free-cell scatter costs
+            # ~10 ns x chunk*rays*max_steps — measured ~50 ms per
+            # 32-keyframe chunk = 79 s for a full 50k repaint (round 5).
             return raytrace_replay_block_sharded(
                 mesh_, grid, origin_cells, hit_cells, kf_mask,
                 sign * l_hit, sign * l_miss,
                 jnp.float32(-INF), jnp.float32(INF), max_steps=ms,
                 ray_cells=ray_cells, ray_valid=ray_valid,
+                free_unique_cap=replay_cap, hit_unique_cap=replay_cap,
             )
 
         self._replay = _replay

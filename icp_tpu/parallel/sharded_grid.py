@@ -151,7 +151,9 @@ def raytrace_replay_block_sharded(mesh: Mesh, log_odds, origin_cells,
                                   hit_cells, valid, l_hit, l_miss,
                                   lo_min, lo_max, *, max_steps: int,
                                   axis: str = "d", ray_cells=None,
-                                  ray_valid=None):
+                                  ray_valid=None,
+                                  free_unique_cap: int | None = None,
+                                  hit_unique_cap: int | None = None):
     """A BATCH of scans painted into the row-block-sharded grid in ONE
     dispatch — the sharded analog of ``ops.raytrace.raytrace_update_
     batched`` used to REPLAY keyframes at corrected poses after bundle
@@ -168,6 +170,17 @@ def raytrace_replay_block_sharded(mesh: Mesh, log_odds, origin_cells,
     (only differs for cells that saturate a bound AND receive opposite-
     sign updates within one batch; the map never feeds registration).
     Deterministic given inputs, so mesh-size invariance holds exactly.
+
+    ``free_unique_cap`` / ``hit_unique_cap``: per-device capacities for
+    RLE-deduplicated scatters (ops.raytrace.dedup_scatter_add). A replay
+    chunk's B consecutive keyframes overlap almost entirely, so the raw
+    free-cell scatter costs ~10 ns x B·rays·max_steps per chunk — it was
+    the round-5 50k replay wall (measured ~50 ms per 32-keyframe chunk,
+    79 s for a full 50k repaint; the dedup turns that into three
+    device-efficient sorts + a small scatter). Sum-exact per cell
+    (count x value as ONE addend — f32 addend grouping differs from the
+    raw path by ulps only); overflow falls back in-graph to the full
+    scatter. None = raw scatter (previous behavior).
     """
     ny, nx = log_odds.shape
     n_dev = mesh.shape[axis]
@@ -184,13 +197,20 @@ def raytrace_replay_block_sharded(mesh: Mesh, log_odds, origin_cells,
     )
     def _update(lo, oc, hc, vm, rc, rvm):
         r0 = lax.axis_index(axis) * block_ny
+        n_flat = block_ny * nx
 
         hx = hc[..., 0].reshape(-1)
         ly = hc[..., 1].reshape(-1) - r0
         hit_in = (vm.reshape(-1) & (hx >= 0) & (hx < nx)
                   & (ly >= 0) & (ly < block_ny))
-        hx_s = jnp.where(hit_in, hx, nx)
-        lo = lo.at[ly, hx_s].add(jnp.where(hit_in, l_hit, 0.0), mode="drop")
+        if hit_unique_cap is not None:
+            hkey = jnp.where(hit_in, ly * nx + hx, n_flat)
+            lo = dedup_scatter_add(lo.reshape(-1), hkey, n_flat, l_hit,
+                                   hit_unique_cap).reshape(block_ny, nx)
+        else:
+            hx_s = jnp.where(hit_in, hx, nx)
+            lo = lo.at[ly, hx_s].add(jnp.where(hit_in, l_hit, 0.0),
+                                     mode="drop")
 
         x, y, act = jax.vmap(
             lambda o, h, v: bresenham_cells_xy(o, h, v, max_steps=max_steps)
@@ -199,8 +219,14 @@ def raytrace_replay_block_sharded(mesh: Mesh, log_odds, origin_cells,
         fy = y.reshape(-1) - r0
         in_b = (act.reshape(-1) & (fx >= 0) & (fx < nx)
                 & (fy >= 0) & (fy < block_ny))
-        fx_s = jnp.where(in_b, fx, nx)
-        lo = lo.at[fy, fx_s].add(jnp.where(in_b, l_miss, 0.0), mode="drop")
+        if free_unique_cap is not None:
+            fkey = jnp.where(in_b, fy * nx + fx, n_flat)
+            lo = dedup_scatter_add(lo.reshape(-1), fkey, n_flat, l_miss,
+                                   free_unique_cap).reshape(block_ny, nx)
+        else:
+            fx_s = jnp.where(in_b, fx, nx)
+            lo = lo.at[fy, fx_s].add(jnp.where(in_b, l_miss, 0.0),
+                                     mode="drop")
         return jnp.clip(lo, lo_min, lo_max)
 
     return _update(log_odds, origin_cells, hit_cells, valid, ray_cells,
