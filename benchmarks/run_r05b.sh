@@ -6,6 +6,11 @@ set -u
 cd /root/repo
 L=benchmarks/logs_r05
 
+echo "=== b0 profile_replay at realistic keyframe size (dedup A/B) $(date) ==="
+PROF_REPLAY_PTS=8192 PROF_REPLAY_KF=512 timeout 1200 \
+  python tools/profile_replay.py > $L/replay_r05.txt 2>&1
+echo "rc=$? replay profile done $(date)"
+
 echo "=== b1 bench_suite lc (stage-wall attribution) $(date) ==="
 timeout 1500 python benchmarks/bench_suite.py lc \
   > benchmarks/results_lc_r05.json 2> $L/suite_lc.log

@@ -259,18 +259,19 @@ def raytrace_update_batched(
     grid is ~6x padding, and multi-operand sorts / scans over it dominate
     the whole SLAM step. So:
 
-    * ``scan_cap``: each scan's cells are first compacted to scan_cap
-      slots by a PREFIX GATHER — the dedup then runs on B*scan_cap ~= 3x
-      fewer elements. Bresenham actives are a step-prefix of every ray
-      (``active = s < M``), and the in-bounds mask keeps them a prefix
-      for any in-grid origin (a straight ray leaves the convex grid
-      once), so per-ray counts + an exclusive cumsum + one batched
-      searchsorted locate every active cell's (ray, step) without
-      sorting the padded (B, S*N) grid at all (that sort was the single
-      largest device block of the whole fused step — 0.56 ms/scan,
-      BENCHMARKS.md round-4 trace). Prefix-ness is asserted in-graph
-      and any violation (out-of-grid origin) falls back to the exact
-      full scatter;
+    * ``scan_cap``: each scan's cells are first compacted by a per-scan
+      (B, S*N) sort sliced to scan_cap — the dedup then runs on
+      B*scan_cap ~= 3x fewer elements. MEASURED NEGATIVE RESULT (round
+      5): a gather-based alternative — Bresenham actives are a
+      step-prefix of every ray, so per-ray counts + exclusive cumsum +
+      batched searchsorted + take_along_axis can compact WITHOUT the
+      sort — was implemented and benchmarked 12x SLOWER end-to-end
+      (full pipeline 429 -> 42.9 scans/s; trace: the searchsorted
+      binary-search body cost 28 ms/iteration x 10 and the element
+      gathers 28 ms/batch, vs 0.56 ms/scan for ALL the sorts). XLA:TPU
+      sorts are fast and scalar gathers are near-serial, so sort-based
+      compaction IS the efficient formulation on this hardware; this
+      sort is the measured floor, not a leftover;
     * run lengths come from POSITION DIFFERENCES of compacted segment
       starts, not from a (key, count) pair sort + reverse cummin: two
       single-key sorts (segment-start positions; unique keys) replace the
@@ -309,33 +310,15 @@ def raytrace_update_batched(
             jnp.where(key_flat < n_flat, l_miss, 0.0), mode="drop")
         return jnp.clip(flat.reshape(ny, nx), lo_min, lo_max)
 
-    c = jnp.sum(inb, axis=1, dtype=jnp.int32)            # (B, N) per ray
-    per_scan_act = jnp.sum(c, axis=1)                    # (B,)
+    per_scan_act = jnp.sum(inb.reshape(B, -1), axis=1).astype(jnp.int32)
     n_act = jnp.sum(per_scan_act).astype(jnp.int32)
     if scan_cap is not None and scan_cap < S * N:
-        # stage 1: prefix-gather compaction — NO sort of the padded grid.
-        # Actives are a step-prefix of each ray (see docstring); any
-        # violation routes to the exact full scatter via overflow1.
-        s_iota = lax.broadcasted_iota(jnp.int32, (B, S, N), 1)
-        prefix_ok = jnp.all(inb == (s_iota < c[:, None, :]))
-        overflow1 = jnp.any(per_scan_act > scan_cap) | ~prefix_ok
-        o_incl = jnp.cumsum(c, axis=1, dtype=jnp.int32)  # (B, N)
-        q = jnp.arange(scan_cap, dtype=jnp.int32)
-        r = jax.vmap(
-            lambda o: jnp.searchsorted(o, q, side="right")
-        )(o_incl).astype(jnp.int32)                      # (B, scan_cap)
-        o_excl = jnp.concatenate(
-            [jnp.zeros((B, 1), jnp.int32), o_incl[:, :-1]], axis=1)
-        rc = jnp.minimum(r, N - 1)
-        t = jnp.clip(q[None, :] - jnp.take_along_axis(o_excl, rc, axis=1),
-                     0, S - 1)
-        slot_ok = q[None, :] < per_scan_act[:, None]
-        kf = key_bsn.reshape(B, S * N)                   # index = s*N + n
-        key = jnp.where(
-            slot_ok,
-            jnp.take_along_axis(kf, t * N + rc, axis=1),
-            jnp.int32(n_flat),
-        ).reshape(-1)
+        # stage 1: per-scan compaction (sentinels sort last, slice them
+        # off) — sort-based on purpose; see the docstring's measured
+        # negative result for the gather-based alternative
+        overflow1 = jnp.any(per_scan_act > scan_cap)
+        key = lax.sort(key_bsn.reshape(B, S * N), dimension=1,
+                       is_stable=False)[:, :scan_cap].reshape(-1)
     else:
         overflow1 = jnp.bool_(False)
         key = key_flat
